@@ -1,0 +1,163 @@
+"""End-to-end sort API tests against the independent numpy oracle.
+
+Port of the reference's test strategy (``msb/tests/test_sort_keys.cu``,
+``test_sort_pairs.cu``, SURVEY.md §4):
+
+* oracle comparison with bitwise equality (handles NaN),
+* entropy sweep {0, 1, 2, 4, 8} (AND of k uniform draws; 0 = constant),
+* size sweep including non-power-of-two and tiny sizes,
+* pair permutation-checksum verification with enumerated values,
+* descending and bit-range variants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpusort
+from tpusort.utils import datagen
+from oracle import np_sort_oracle
+
+KEY_DTYPES = ["uint32", "int32", "float32", "uint64", "int64", "float64"]
+ENTROPIES = [1, 2, 4, 0]
+SIZES = [1, 2, 100, 1000, 4097, 30000]
+
+
+def _gen(dtype, n, entropy, seed=0):
+    k = jax.random.key(seed)
+    if entropy == 1:
+        return datagen.random_keys(k, n, dtype)
+    return datagen.entropy_keys(k, n, entropy, dtype)
+
+
+def _assert_bitwise_equal(got, want, msg=""):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.dtype == want.dtype, (got.dtype, want.dtype)
+    if not np.array_equal(got.view(np.uint8), want.view(np.uint8)):
+        bad = np.nonzero(got.view(np.uint8) != want.view(np.uint8))[0]
+        raise AssertionError(f"{msg} first byte mismatch at {bad[:10]}")
+
+
+ALGORITHMS = ["reference"]
+
+
+def engines():
+    return [a for a in ALGORITHMS if a in tpusort.available_engines()]
+
+
+@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("dtype", KEY_DTYPES)
+@pytest.mark.parametrize("entropy", ENTROPIES)
+def test_sort_keys_oracle(algorithm, dtype, entropy):
+    n = 10000
+    keys = _gen(dtype, n, entropy)
+    got = tpusort.sort(keys, algorithm=algorithm)
+    want = np_sort_oracle(np.asarray(keys))
+    _assert_bitwise_equal(got, want, f"{algorithm}/{dtype}/entropy={entropy}")
+
+
+@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("n", SIZES)
+def test_sort_size_sweep(algorithm, n):
+    keys = _gen("uint32", n, 1, seed=n)
+    got = tpusort.sort(keys, algorithm=algorithm)
+    want = np_sort_oracle(np.asarray(keys))
+    _assert_bitwise_equal(got, want, f"{algorithm}/n={n}")
+
+
+@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("dtype", ["uint32", "float32", "uint64"])
+def test_sort_descending(algorithm, dtype):
+    n = 8192
+    keys = _gen(dtype, n, 2)
+    got = tpusort.sort(keys, descending=True, algorithm=algorithm)
+    want = np_sort_oracle(np.asarray(keys), descending=True)
+    _assert_bitwise_equal(got, want, f"{algorithm}/{dtype}/desc")
+
+
+@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("dtype,begin,end", [
+    ("uint32", 0, 16),
+    ("uint32", 8, 24),
+    ("uint64", 16, 48),
+    ("float32", 4, 30),
+])
+def test_bit_range_subsort(algorithm, dtype, begin, end):
+    """Stable sub-range sort: only bits [begin,end) compared; ties keep
+    input order (cub begin_bit/end_bit semantics)."""
+    n = 5000
+    keys = _gen(dtype, n, 1)
+    vals = datagen.enumerated_values(n)
+    gk, gv = tpusort.sort(keys, vals, begin_bit=begin, end_bit=end,
+                          algorithm=algorithm)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals),
+                            begin_bit=begin, end_bit=end)
+    _assert_bitwise_equal(gk, wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("dtype", ["uint32", "uint64", "float32"])
+@pytest.mark.parametrize("entropy", [1, 3, 0])
+def test_sort_pairs_stable(algorithm, dtype, entropy):
+    """Stable engines must match the stable oracle on values exactly."""
+    n = 20000
+    keys = _gen(dtype, n, entropy)
+    vals = datagen.enumerated_values(n)
+    gk, gv = tpusort.sort(keys, vals, algorithm=algorithm)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    _assert_bitwise_equal(gk, wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+@pytest.mark.parametrize("algorithm", engines())
+def test_sort_pairs_permutation_checksum(algorithm):
+    """The reference's fast pair check (test_sort_pairs.cu:141-175):
+    values are the 0..N-1 permutation; every output pair must map back to
+    its original key and the value checksum must be N(N-1)/2."""
+    n = 30000
+    keys = _gen("uint32", n, 2)
+    vals = datagen.enumerated_values(n)
+    gk, gv = tpusort.sort(keys, vals, algorithm=algorithm)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    orig = np.asarray(keys)
+    assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
+    np.testing.assert_array_equal(orig[gv], gk)
+
+
+@pytest.mark.parametrize("algorithm", engines())
+def test_multi_payload(algorithm):
+    n = 4096
+    keys = _gen("uint32", n, 1)
+    v1 = datagen.enumerated_values(n)
+    v2 = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
+    gk, (g1, g2) = tpusort.sort(keys, (v1, v2), algorithm=algorithm)
+    wk, w1 = np_sort_oracle(np.asarray(keys), np.asarray(v1))
+    _assert_bitwise_equal(gk, wk)
+    np.testing.assert_array_equal(np.asarray(g1), w1)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(v2)[w1])
+
+
+def test_argsort():
+    n = 3000
+    keys = _gen("float32", n, 1)
+    perm = tpusort.argsort(keys)
+    want = np.argsort(np.asarray(np_sort_oracle(np.asarray(keys))), kind="stable")
+    # verify via application, not permutation equality (ties)
+    _assert_bitwise_equal(np.asarray(keys)[np.asarray(perm)],
+                          np_sort_oracle(np.asarray(keys)))
+
+
+def test_cub_flavored_wrappers():
+    n = 1024
+    keys = _gen("uint32", n, 1)
+    vals = datagen.enumerated_values(n)
+    np.testing.assert_array_equal(
+        np.asarray(tpusort.sort_keys(keys)), np.asarray(tpusort.sort(keys))
+    )
+    gk, gv = tpusort.sort_pairs_descending(keys, vals)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals), descending=True)
+    _assert_bitwise_equal(gk, wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)

@@ -1,0 +1,206 @@
+"""Public sort API.
+
+TPU-native re-design of the reference's two public surfaces:
+
+* ``cub::DeviceRadixSort::{SortKeys, SortPairs, *Descending}`` with
+  ``begin_bit``/``end_bit`` sub-range sorts
+  (``lsb/cub/cub/device/device_radix_sort.cuh:147-660``), and
+* the MSB entry points ``rdxsrt_unstable_sort{,_keys,_pairs}``
+  (``msb/src/sort/gpu_radix_sort.h:197-587``).
+
+Differences by design (TPU/JAX idiom, not translation):
+
+* No two-call temp-storage protocol and no ``DoubleBuffer`` — XLA owns
+  allocation and buffer ping-ponging; every function is functional and
+  jit-able.
+* 64-bit keys are decomposed into uint32 planes at the boundary
+  (see :mod:`tpusort.dtypes`), so no 64-bit arithmetic reaches a kernel.
+* Engine selection is a runtime registry (analog of the reference's
+  kernel-config registries, ``msb/src/sort/gpu_sort_config.h:267-336``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from tpusort import configs as _configs
+from tpusort import dtypes as _dtypes
+from tpusort.ops.reference import sort_twiddled_reference
+
+__all__ = [
+    "sort",
+    "argsort",
+    "sort_keys",
+    "sort_keys_descending",
+    "sort_pairs",
+    "sort_pairs_descending",
+    "register_engine",
+    "available_engines",
+]
+
+
+# ---------------------------------------------------------------------------
+# Engine registry
+# ---------------------------------------------------------------------------
+
+# An engine sorts twiddled uint32 plane(s) + payload arrays ascending:
+#   engine(planes, values, begin_bit, end_bit, total_bits, config)
+#     -> (sorted_planes, sorted_values)
+Engine = Callable[..., Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]]
+
+_ENGINES: Dict[str, Engine] = {}
+
+
+def register_engine(name: str, fn: Engine) -> None:
+    _ENGINES[name] = fn
+
+
+def available_engines() -> Tuple[str, ...]:
+    return tuple(sorted(_ENGINES))
+
+
+register_engine("reference", sort_twiddled_reference)
+
+
+def _resolve_engine(algorithm: str, config: _configs.SortConfig) -> Engine:
+    if algorithm == "auto":
+        algorithm = config.default_algorithm
+        if algorithm not in _ENGINES:
+            algorithm = "reference"
+    if algorithm not in _ENGINES:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; available: {available_engines()}"
+        )
+    return _ENGINES[algorithm]
+
+
+# ---------------------------------------------------------------------------
+# Public functions
+# ---------------------------------------------------------------------------
+
+
+def _normalize_values(values) -> Tuple[Tuple[jax.Array, ...], bool, bool]:
+    """Returns (value_tuple, had_values, was_single)."""
+    if values is None:
+        return (), False, False
+    if isinstance(values, (tuple, list)):
+        return tuple(values), True, False
+    return (values,), True, True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "descending",
+        "begin_bit",
+        "end_bit",
+        "algorithm",
+        "dimension",
+    ),
+)
+def _sort_impl(
+    keys,
+    values_tuple,
+    *,
+    descending: bool,
+    begin_bit: int,
+    end_bit: Optional[int],
+    algorithm: str,
+    dimension: int,
+):
+    if dimension != 0 or keys.ndim != 1:
+        raise NotImplementedError("tpusort currently sorts 1-D arrays")
+    planes, traits = _dtypes.twiddle_in(keys, descending=descending)
+    total_bits = traits.bits
+    eb = total_bits if end_bit is None else end_bit
+    if not (0 <= begin_bit < eb <= total_bits):
+        raise ValueError(f"invalid bit range [{begin_bit}, {eb}) for {traits.name}")
+    cfg = _configs.get_config(total_bits, bool(values_tuple))
+    engine = _resolve_engine(algorithm, cfg)
+    sorted_planes, sorted_values = engine(
+        planes,
+        values_tuple,
+        begin_bit=begin_bit,
+        end_bit=eb,
+        total_bits=total_bits,
+    )
+    out_keys = _dtypes.twiddle_out(
+        sorted_planes, traits, descending=descending, dtype=keys.dtype
+    )
+    return out_keys, sorted_values
+
+
+def sort(
+    keys: jax.Array,
+    values=None,
+    *,
+    descending: bool = False,
+    begin_bit: int = 0,
+    end_bit: Optional[int] = None,
+    algorithm: str = "auto",
+):
+    """Stable radix sort of ``keys`` (optionally carrying ``values``).
+
+    Parameters mirror the reference API surface: ``descending`` (CUB
+    ``SortKeysDescending``/``SortPairsDescending``), ``begin_bit``/``end_bit``
+    sub-range comparison, and ``values`` as either a single array or a tuple
+    of payload arrays.  Returns sorted keys, or ``(keys, values)`` when
+    values are given.
+    """
+    vt, had, single = _normalize_values(values)
+    out_keys, out_vals = _sort_impl(
+        keys,
+        vt,
+        descending=descending,
+        begin_bit=begin_bit,
+        end_bit=end_bit,
+        algorithm=algorithm,
+        dimension=0,
+    )
+    if not had:
+        return out_keys
+    return out_keys, (out_vals[0] if single else out_vals)
+
+
+def argsort(
+    keys: jax.Array,
+    *,
+    descending: bool = False,
+    begin_bit: int = 0,
+    end_bit: Optional[int] = None,
+    algorithm: str = "auto",
+):
+    """Indices that stably sort ``keys`` (carried as a uint32 payload)."""
+    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    _, perm = sort(
+        keys,
+        idx,
+        descending=descending,
+        begin_bit=begin_bit,
+        end_bit=end_bit,
+        algorithm=algorithm,
+    )
+    return perm
+
+
+# CUB-flavored convenience wrappers (device_radix_sort.cuh:147-660)
+
+
+def sort_keys(keys, **kw):
+    return sort(keys, **kw)
+
+
+def sort_keys_descending(keys, **kw):
+    return sort(keys, descending=True, **kw)
+
+
+def sort_pairs(keys, values, **kw):
+    return sort(keys, values, **kw)
+
+
+def sort_pairs_descending(keys, values, **kw):
+    return sort(keys, values, descending=True, **kw)
