@@ -1,0 +1,91 @@
+"""Headline benchmark: 32-bit keys/s on one chip.
+
+Workload mirrors the reference's benchmarks (2^28 uniform 32-bit keys,
+``msb/src/test.cu:64``; the LSB driver's 2^28-item trials,
+``lsb/sort.cu:87-131``) and BASELINE.json config #2.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is against the 2B keys/s/chip north-star target.
+
+Timing discipline: block_until_ready does not block on the tunneled axon
+backend, so completion is forced by fetching a tiny probe slice through a
+separate jit boundary; dispatch+probe overhead is measured with a no-op and
+subtracted (see DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpusort
+
+TARGET_KEYS_PER_S = 2.0e9  # BASELINE.json north star, per chip
+
+
+@jax.jit
+def _probe(o):
+    return jax.tree.map(lambda a: a.ravel()[:8], o)
+
+
+def _sync(out):
+    return np.asarray(jax.tree.leaves(_probe(out))[0])
+
+
+def _time(fn, *args, iters=3, warmup=1):
+    _sync(fn(*args))  # compile
+    for _ in range(warmup):
+        _sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log2n", type=int, default=28)
+    ap.add_argument("--algorithm", default="auto")
+    ap.add_argument("--pairs", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    n = 1 << args.log2n
+    keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
+    overhead = _time(jax.jit(lambda a: a), keys[:8], iters=args.iters)
+
+    if args.pairs:
+        vals = jnp.arange(n, dtype=jnp.uint32)
+        fn = jax.jit(
+            lambda k, v: tpusort.sort(k, v, algorithm=args.algorithm)
+        )
+        dt = _time(fn, keys, vals, iters=args.iters) - overhead
+        metric = "pairs_per_sec_per_chip"
+    else:
+        fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))
+        dt = _time(fn, keys, iters=args.iters) - overhead
+        metric = "keys_per_sec_per_chip"
+
+    dt = max(dt, 1e-9)
+    value = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value),
+                "unit": "keys/s",
+                "vs_baseline": round(value / TARGET_KEYS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

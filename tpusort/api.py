@@ -64,6 +64,10 @@ def available_engines() -> Tuple[str, ...]:
 
 
 register_engine("reference", sort_twiddled_reference)
+# "xla" is the production alias of the masked-plane stable variadic sort:
+# XLA's native sort is the measured bar (366 M keys/s on v5e, DESIGN.md)
+# and the correctness fallback for pathological inputs.
+register_engine("xla", sort_twiddled_reference)
 
 
 def _resolve_engine(algorithm: str, config: _configs.SortConfig) -> Engine:

@@ -37,7 +37,7 @@ class SortConfig:
     msd_radix_bits: int = 8
     msd_leaf_elems: int = 16384    # buckets at/below this finish with a leaf sort
     # --- algorithm auto-selection ---
-    default_algorithm: str = "lsd"
+    default_algorithm: str = "xla"
 
 
 _REGISTRY: Dict[Tuple[int, bool, str], SortConfig] = {}
