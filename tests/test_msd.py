@@ -1,0 +1,157 @@
+"""MSD hybrid engine tests (small geometry, CPU).
+
+Mirrors the reference's MSB test matrix (``msb/tests/test_sort_keys.cu``,
+``test_sort_pairs.cu``): oracle comparison across types x entropies x sizes,
+plus pair stability, bit-range sub-sorts, and the skew/overflow fallback.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpusort
+from tpusort import dtypes as td
+from tpusort.ops import msd
+from tpusort.utils import datagen
+from oracle import np_sort_oracle
+
+# small geometry so tests run fast and exercise multiple passes
+SMALL = dict(k=2048, r=8, s1=384, s=256, leaf_max=2048, min_n=1)
+
+
+def _msd_sort(keys, values=None, *, descending=False, begin_bit=0,
+              end_bit=None, plan_kwargs=SMALL):
+    """Direct engine invocation with small-geometry plan overrides."""
+    planes, traits = td.twiddle_in(keys, descending=descending)
+    eb = traits.bits if end_bit is None else end_bit
+    vt = () if values is None else (values,)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, vt, begin_bit=begin_bit, end_bit=eb, total_bits=traits.bits,
+        use_pallas=False, plan_kwargs=plan_kwargs,
+    )
+    out = td.twiddle_out(sp, traits, descending=descending, dtype=keys.dtype)
+    if values is None:
+        return out
+    return out, sv[0]
+
+
+def test_plan_small_geometry():
+    p = msd.plan_msd(100_000, 0, 32, **{k: v for k, v in SMALL.items()
+                                         if k != "min_n"})
+    assert p is not None
+    assert len(p.passes) >= 2
+    assert p.seg <= 2048 and p.seg % 128 == 0
+    assert p.m_final == p.n_segments * p.seg
+    for spec in p.passes:
+        assert spec.k % (spec.r * 128) == 0
+
+
+def test_plan_default_geometry():
+    p = msd.plan_msd(1 << 26, 0, 32)
+    assert p is not None
+    assert p.m_final <= 2.1 * (1 << 26)
+    assert p.seg <= 16384
+    p28 = msd.plan_msd(1 << 28, 0, 32)
+    assert p28 is not None and p28.seg <= 16384
+
+
+@pytest.mark.parametrize("dtype", ["uint32", "int32", "float32", "uint64",
+                                    "float64"])
+@pytest.mark.parametrize("n", [70_000, 131072])
+def test_msd_keys_oracle(dtype, n):
+    keys = datagen.random_keys(jax.random.key(n), n, dtype)
+    got = _msd_sort(keys)
+    want = np_sort_oracle(np.asarray(keys))
+    assert np.array_equal(np.asarray(got).view(np.uint8), want.view(np.uint8))
+
+
+@pytest.mark.parametrize("entropy", [2, 3])
+def test_msd_moderate_entropy(entropy):
+    """Moderately skewed digits: either the padding absorbs it or the
+    overflow fallback fires — output must be exact either way."""
+    n = 100_000
+    keys = datagen.entropy_keys(jax.random.key(1), n, entropy, "uint32")
+    got = _msd_sort(keys)
+    want = np_sort_oracle(np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("entropy", [8, 0])
+def test_msd_extreme_skew_fallback(entropy):
+    """Entropy 8 / constant keys overflow every run -> lax.cond fallback."""
+    n = 80_000
+    keys = datagen.entropy_keys(jax.random.key(2), n, entropy, "uint32")
+    got = _msd_sort(keys)
+    want = np_sort_oracle(np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_msd_pairs_stable():
+    n = 90_000
+    keys = datagen.entropy_keys(jax.random.key(3), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    gk, gv = _msd_sort(keys, vals)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_msd_pairs_float_payload():
+    n = 70_000
+    keys = datagen.random_keys(jax.random.key(4), n, "uint32")
+    vals = jax.random.uniform(jax.random.key(5), (n,), dtype=jnp.float32)
+    gk, gv = _msd_sort(keys, vals)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_msd_descending():
+    n = 70_000
+    keys = datagen.random_keys(jax.random.key(6), n, "float32")
+    got = _msd_sort(keys, descending=True)
+    want = np_sort_oracle(np.asarray(keys), descending=True)
+    assert np.array_equal(np.asarray(got).view(np.uint8), want.view(np.uint8))
+
+
+def test_msd_bit_range():
+    n = 70_000
+    keys = datagen.random_keys(jax.random.key(7), n, "uint32")
+    vals = datagen.enumerated_values(n)
+    gk, gv = _msd_sort(keys, vals, begin_bit=8, end_bit=24)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals),
+                            begin_bit=8, end_bit=24)
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_msd_uint64_pairs():
+    n = 70_000
+    keys = datagen.random_keys(jax.random.key(8), n, "uint64")
+    vals = datagen.enumerated_values(n)
+    gk, gv = _msd_sort(keys, vals)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_msd_api_dispatch():
+    """algorithm='msd' through the public API (default geometry; small n
+    delegates to the reference path but must stay exact)."""
+    n = 50_000
+    keys = datagen.random_keys(jax.random.key(9), n, "uint32")
+    got = tpusort.sort(keys, algorithm="msd")
+    want = np_sort_oracle(np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_msd_nonuniform_tail():
+    """n far from tile multiples exercises initial-pad validity."""
+    for n in (65537, 98304 + 17):
+        keys = datagen.random_keys(jax.random.key(n), n, "uint32")
+        got = _msd_sort(keys)
+        want = np_sort_oracle(np.asarray(keys))
+        np.testing.assert_array_equal(np.asarray(got), want)

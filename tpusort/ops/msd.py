@@ -1,0 +1,439 @@
+"""MSD hybrid radix sort engine ("msd").
+
+TPU-native re-architecture of the reference's MSB hierarchical radix sort
+(``msb/src/sort/gpu_radix_sort.h:197-507`` orchestrator;
+``cuda_radix_sort.h:374-641`` partition kernels; ``:1342-1620`` local/leaf
+sorts).  The GPU design — atomics to reserve bucket ranges, a CPU planner in
+the pass loop, dynamic bucket->block work queues — does not map to TPU/XLA
+(static shapes, no atomics, sequential grids).  The equivalent structure here
+is fully static:
+
+* **partition pass**: tiles are sorted by (digit, idx) [a stable local
+  digit-binning], each tile's R digit runs are emitted PADDED to a static
+  capacity S, laid out (T, R, S); the global exchange is then a free XLA
+  transpose to digit-major (R, T, S).  Padding replaces the reference's
+  atomic offset reservations AND its CPU block planner: bucket-size variance
+  is absorbed by slack instead of dynamic work assignment.
+* **validity is positional, never stored**: a pad slot (d, s) of a tile is
+  garbage iff s >= c(t, d); each pass derives a validity mask from the
+  previous pass's (tiny) counts table.  No payload bits are spent.
+* **leaf pass**: after p passes the (d1..dp) buckets are contiguous padded
+  segments small enough to sort entirely in VMEM over the remaining key
+  bits (packed with a stability index into a single uint32 sortkey when
+  they fit) — the analog of ``do_locrec_radix_sort_keys`` finishing small
+  buckets in one thread block.
+* **skew**: a run overflowing its capacity (c > S) is detected from the
+  counts (the analog of the reference's hot-bucket look-ahead trigger,
+  ``cuda_radix_sort.h:437-447``); the engine then falls back to the stable
+  XLA sort via lax.cond, so correctness never depends on the distribution.
+* one final order-preserving compaction drops the pad slots.
+
+Unlike the reference's MSB sort this engine is STABLE (tile sorts tiebreak
+on position, runs concatenate in tile order), so it can serve as the LSB
+engine's semantics too.
+
+This module is the XLA-level implementation; the Pallas kernels in
+``tpusort.kernels`` slot into ``_sort_tiles``/``_expand`` (selected by
+config) to replace lax.sort and the monotonic gather on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusort.ops.reference import sort_twiddled_reference
+
+# ---------------------------------------------------------------------------
+# Geometry planning
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PassSpec:
+    n_seg: int       # independent segments this pass operates within
+    t_seg: int       # tiles per segment
+    k: int           # tile size (elements)
+    r: int           # radix (runs per tile)
+    s: int           # padded run capacity (elements, multiple of 128)
+    lo_bit: int      # LSB position of this pass's digit
+    width: int       # digit width in bits (<= log2(r))
+
+
+@dataclass(frozen=True)
+class MsdPlan:
+    m1: int                      # padded element count entering pass 1
+    passes: Tuple[PassSpec, ...]
+    seg: int                     # final segment size (elements)
+    n_segments: int
+    m_final: int
+    rem_lo: int                  # leaf sorts bits [rem_lo, rem_lo + rem_width)
+    rem_width: int
+
+
+def plan_msd(
+    n: int,
+    begin_bit: int,
+    end_bit: int,
+    *,
+    k: int = 1 << 14,
+    r: int = 32,
+    s1: Optional[int] = None,
+    s: Optional[int] = None,
+    leaf_max: Optional[int] = None,
+) -> Optional[MsdPlan]:
+    """Compute a static pass plan, or None if no feasible plan exists.
+
+    Geometry invariants (all checked):
+      * every pass's tiles hold exactly K elements and emit R runs of S;
+      * pass outputs regroup into next-pass tiles without straddling digit
+        segments (T_seg multiple of K/S_prev runs-per-tile, segments multiples
+        of K);
+      * the final segments are <= leaf_max and multiples of 128.
+    """
+    import math
+
+    log_r = r.bit_length() - 1
+    if s1 is None:
+        s1 = ((3 * k // (2 * r)) // 128) * 128      # alpha ~ 1.5 on pass 1
+    if s is None:
+        s = k // r                                  # alpha-preserving after
+    if leaf_max is None:
+        leaf_max = max(k, 1 << 14)
+    if k % (r * 128) or s % 128 or s1 % 128:
+        return None
+
+    bits = end_bit - begin_bit
+
+    def _try(p: int, t1: int) -> Optional[MsdPlan]:
+        """Build a p-pass plan with T1 tiles, or None if infeasible."""
+        seg = t1 * s1
+        specs = [PassSpec(1, t1, k, r, s1, end_bit - min(log_r, bits),
+                          min(log_r, bits))]
+        n_seg = r
+        for _ in range(1, p):
+            # segments must be whole numbers of tiles (tiles may not span
+            # two digit segments — that would interleave order boundaries)
+            if seg % k:
+                return None
+            t_seg = seg // k
+            if t_seg < 1:
+                return None
+            consumed = sum(sp.width for sp in specs)
+            width = min(log_r, bits - consumed)
+            if width <= 0:
+                return None
+            lo = end_bit - consumed - width
+            specs.append(PassSpec(n_seg, t_seg, k, r, s, lo, width))
+            seg = t_seg * s
+            n_seg *= r
+        if seg > leaf_max or seg % 128:
+            return None
+        consumed = sum(sp.width for sp in specs)
+        return MsdPlan(
+            m1=t1 * k,
+            passes=tuple(specs),
+            seg=seg,
+            n_segments=n_seg,
+            m_final=n_seg * seg,
+            rem_lo=begin_bit,
+            rem_width=bits - consumed,
+        )
+
+    # try increasing pass counts until the leaf segment fits; for each pass
+    # count, search T1 over multiples of a divisibility quantum, accepting
+    # the first feasible plan with bounded padding waste
+    for p in range(1, 5):
+        if bits < log_r * p:
+            break
+        quantum = k // math.gcd(s1, k)
+        tiles_needed = -(-n // k)
+        t1_base = -(-tiles_needed // quantum) * quantum
+        for step in range(64):
+            t1 = t1_base + step * quantum
+            if t1 * k > max(8 * n, 1 << 23):
+                break
+            plan = _try(p, t1)
+            if plan is not None:
+                return plan
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Bit-plane helpers
+# ---------------------------------------------------------------------------
+
+
+def _extract_bits(planes: Sequence[jax.Array], lo: int, width: int) -> jax.Array:
+    """Bits [lo, lo+width) of the multi-plane key, as uint32 (width <= 32).
+
+    Plane 0 is the most-significant 32 bits.
+    """
+    nplanes = len(planes)
+    out = None
+    for i, pl_ in enumerate(planes):
+        base = 32 * (nplanes - 1 - i)
+        ov_lo = max(lo, base)
+        ov_hi = min(lo + width, base + 32)
+        if ov_hi <= ov_lo:
+            continue
+        mask = jnp.uint32((1 << (ov_hi - ov_lo)) - 1)
+        chunk = (pl_ >> jnp.uint32(ov_lo - base)) & mask
+        chunk = chunk << jnp.uint32(ov_lo - lo)
+        out = chunk if out is None else out | chunk
+    if out is None:
+        return jnp.zeros_like(planes[0])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pass building blocks (XLA versions; Pallas kernels replace on TPU)
+# ---------------------------------------------------------------------------
+
+
+def _sort_tiles_xla(ops: List[jax.Array]) -> List[jax.Array]:
+    """Sort rows of each (T, K) operand ascending by ops[0] (all uint32)."""
+    return list(jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=False))
+
+
+def _expand_xla(
+    sorted_ops: List[jax.Array], starts: jax.Array, r: int, s: int
+) -> List[jax.Array]:
+    """Monotonic padded expand: (T, K) sorted tiles -> (T, R*S) padded runs.
+
+    out[t, d*S + j] = sorted[t, starts[t, d] + j]   (clamped; slots beyond a
+    run's count are positionally-invalid garbage and never consulted).
+    """
+    T, K = sorted_ops[0].shape
+    offs = jnp.arange(s, dtype=jnp.int32)
+    idx = starts[:, :, None].astype(jnp.int32) + offs[None, None, :]  # (T,R,S)
+    idx = jnp.minimum(idx.reshape(T, r * s), K - 1)
+    return [jnp.take_along_axis(o, idx, axis=1) for o in sorted_ops]
+
+
+def _valid_mask(run_counts: jax.Array, s_prev: int, t: int, k: int) -> jax.Array:
+    """(T, K) bool validity from the previous pass's run counts.
+
+    Element at GLOBAL flat position p is valid iff (p mod S_prev) <
+    counts[p div S_prev].  Runs may straddle tile boundaries (stability is
+    unaffected: a straddled run's head and tail tiles emit in tile order);
+    only segment boundaries must align with tiles, which the plan checks.
+    """
+    num_runs = (t * k) // s_prev
+    c = run_counts.reshape(num_runs, 1)
+    pos = jnp.arange(s_prev, dtype=jnp.int32)
+    return (pos[None, :] < c).reshape(t, k)
+
+
+def _histogram(digit: jax.Array, valid: jax.Array, r: int) -> jax.Array:
+    """(T, R) counts of valid digits (one-hot sum; Pallas later)."""
+    oh = (digit[:, :, None] == jnp.arange(r, dtype=jnp.uint32)) & valid[:, :, None]
+    return oh.sum(axis=1, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# The engine
+# ---------------------------------------------------------------------------
+
+
+def _partition_pass(
+    ops: List[jax.Array],
+    planes_slice: slice,
+    run_counts: jax.Array,
+    s_prev: int,
+    spec: PassSpec,
+    use_pallas: bool,
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """One MSD partition pass over flat operands.
+
+    ops: flat (M,) uint32 arrays: [plane0, plane1?, values...].
+    Returns (new_ops, new_run_counts, overflow_flag).
+    """
+    m = ops[0].shape[0]
+    t = spec.n_seg * spec.t_seg
+    k, r, s = spec.k, spec.r, spec.s
+    tiled = [o.reshape(t, k) for o in ops]
+    planes = tiled[planes_slice]
+
+    digit = _extract_bits(planes, spec.lo_bit, spec.width).reshape(t, k)
+    valid = _valid_mask(run_counts, s_prev, t, k)
+
+    counts = _histogram(digit, valid, r)                       # (T, R)
+    overflow = jnp.any(counts > s)
+    starts = jnp.cumsum(counts, axis=1) - counts               # exclusive
+
+    idx_bits = k.bit_length() - 1
+    idx = jnp.arange(k, dtype=jnp.uint32)[None, :]
+    sentinel = jnp.uint32(r)
+    d_or_s = jnp.where(valid, digit, sentinel)
+    sortkey = (d_or_s << jnp.uint32(idx_bits)) | idx
+
+    if use_pallas:
+        from tpusort.kernels.partition import partition_tiles
+
+        out_tiles = partition_tiles([sortkey] + tiled, starts, r=r, s=s)
+    else:
+        sorted_ops = _sort_tiles_xla([sortkey] + tiled)[1:]
+        out_tiles = _expand_xla(sorted_ops, starts, r, s)      # (T, R*S)
+
+    # global exchange: digit-major within each segment (free XLA transpose)
+    out = []
+    for o in out_tiles:
+        o4 = o.reshape(spec.n_seg, spec.t_seg, r, s)
+        out.append(o4.transpose(0, 2, 1, 3).reshape(-1))
+    cT = counts.reshape(spec.n_seg, spec.t_seg, r).transpose(0, 2, 1)
+    new_counts = jnp.minimum(cT.reshape(-1), s)
+    return out, new_counts, overflow
+
+
+def _leaf_sort(
+    ops: List[jax.Array],
+    planes_slice: slice,
+    run_counts: jax.Array,
+    s_prev: int,
+    plan: MsdPlan,
+    use_pallas: bool,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """Sort each final segment by the remaining key bits, stably.
+
+    Returns (ops sorted within segments: valid prefix per segment, followed
+    by garbage; per-segment valid counts).
+    """
+    nseg, seg = plan.n_segments, plan.seg
+    tiled = [o.reshape(nseg, seg) for o in ops]
+    planes = tiled[planes_slice]
+
+    valid = _valid_mask(run_counts, s_prev, nseg, seg)
+    seg_counts = valid.sum(axis=1, dtype=jnp.int32)
+
+    idx_bits = seg.bit_length() - (0 if (seg & (seg - 1)) else 1)
+    idx = jnp.arange(seg, dtype=jnp.uint32)[None, :]
+    rem = _extract_bits(planes, plan.rem_lo, plan.rem_width).reshape(nseg, seg)
+
+    # strict < 32 so the garbage sentinel 0xFFFFFFFF can never tie with a
+    # genuine (rem, idx) packing (a tie would let compaction drop the wrong
+    # element's payload)
+    if plan.rem_width + idx_bits < 32:
+        sortkey = jnp.where(
+            valid,
+            (rem << jnp.uint32(idx_bits)) | idx,
+            jnp.uint32(0xFFFFFFFF),
+        )
+        if use_pallas:
+            from tpusort.kernels.bitonic import sort_tiles
+
+            sorted_ops = list(sort_tiles([sortkey] + tiled))[1:]
+        else:
+            sorted_ops = _sort_tiles_xla([sortkey] + tiled)[1:]
+    else:
+        # wide remainder (64-bit keys / few passes): multi-key stable sort on
+        # the range-masked planes, with the position index as tiebreak.
+        from tpusort.ops.reference import _mask_plane_bits
+
+        masked = _mask_plane_bits(
+            tuple(planes), plan.rem_lo, plan.rem_lo + plan.rem_width,
+            32 * len(planes),
+        )
+        keys = [jnp.where(valid, mp, jnp.uint32(0xFFFFFFFF)) for mp in masked]
+        keys.append(jnp.where(valid, idx, jnp.uint32(0xFFFFFFFF)))
+        sorted_ops = list(
+            jax.lax.sort(
+                keys + tiled, dimension=1, num_keys=len(keys), is_stable=False
+            )
+        )[len(keys):]
+    return [o.reshape(-1) for o in sorted_ops], seg_counts
+
+
+def _compact_xla(
+    ops: List[jax.Array], seg_counts: jax.Array, seg: int, n: int
+) -> List[jax.Array]:
+    """Order-preserving drop of per-segment garbage tails -> dense (n,)."""
+    offsets = jnp.cumsum(seg_counts) - seg_counts            # (nseg,)
+    j = jnp.arange(n, dtype=jnp.int32)
+    segid = jnp.searchsorted(offsets, j, side="right") - 1
+    src = segid * seg + (j - offsets[segid])
+    return [o[src] for o in ops]
+
+
+def sort_twiddled_msd(
+    planes: Tuple[jax.Array, ...],
+    values: Sequence[jax.Array],
+    *,
+    begin_bit: int,
+    end_bit: int,
+    total_bits: int,
+    use_pallas: Optional[bool] = None,
+    plan_kwargs: Optional[dict] = None,
+) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """MSD hybrid engine entry (engine-registry signature).
+
+    Falls back to the stable XLA sort when no feasible plan exists (small n,
+    narrow bit ranges) or — via lax.cond — when run overflow reveals a skewed
+    distribution the static padding cannot absorb.
+    """
+    n = planes[0].shape[0]
+    kwargs = dict(plan_kwargs or {})
+    min_n = kwargs.pop("min_n", 1 << 16)
+    plan = None
+    if n >= min_n:
+        plan = plan_msd(n, begin_bit, end_bit, **kwargs)
+    if any(jnp.dtype(v.dtype).itemsize != 4 for v in values):
+        plan = None  # non-32-bit payloads: delegate (API splits 64-bit later)
+    if plan is None:
+        return sort_twiddled_reference(
+            planes, values, begin_bit=begin_bit, end_bit=end_bit,
+            total_bits=total_bits,
+        )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    nplanes = len(planes)
+    # 32-bit word split for payloads is handled at the API layer; here all
+    # operands are uint32.
+    ops = [jnp.pad(p, (0, plan.m1 - n)) for p in planes]
+    ops += [jnp.pad(jnp.asarray(v).view(jnp.uint32), (0, plan.m1 - n))
+            for v in values]
+    planes_slice = slice(0, nplanes)
+
+    # pass 0 validity: one run per tile of size K
+    k0 = plan.passes[0].k
+    t0 = plan.m1 // k0
+    run_counts = jnp.clip(
+        n - jnp.arange(t0, dtype=jnp.int32) * k0, 0, k0
+    )
+    s_prev = k0
+
+    overflow = jnp.asarray(False)
+    for spec in plan.passes:
+        ops, run_counts, ovf = _partition_pass(
+            ops, planes_slice, run_counts, s_prev, spec, use_pallas
+        )
+        overflow |= ovf
+        s_prev = spec.s
+
+    ops, seg_counts = _leaf_sort(
+        ops, planes_slice, run_counts, s_prev, plan, use_pallas
+    )
+    ops = _compact_xla(ops, seg_counts, plan.seg, n)
+
+    def _fallback(_):
+        sp, sv = sort_twiddled_reference(
+            planes, values, begin_bit=begin_bit, end_bit=end_bit,
+            total_bits=total_bits,
+        )
+        return list(sp) + [jnp.asarray(v).view(jnp.uint32) for v in sv]
+
+    def _ok(_):
+        return ops
+
+    ops = jax.lax.cond(overflow, _fallback, _ok, None)
+
+    out_planes = tuple(ops[:nplanes])
+    out_values = tuple(
+        o.view(jnp.asarray(v).dtype) for o, v in zip(ops[nplanes:], values)
+    )
+    return out_planes, out_values
