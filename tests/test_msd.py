@@ -155,3 +155,20 @@ def test_msd_nonuniform_tail():
         got = _msd_sort(keys)
         want = np_sort_oracle(np.asarray(keys))
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_msd_pallas_interpret():
+    """The Pallas partition + leaf kernels (interpret mode on CPU) must
+    produce the same exact output as the XLA path."""
+    n = 24_000
+    keys = datagen.random_keys(jax.random.key(11), n, "uint32")
+    vals = datagen.enumerated_values(n)
+    planes, traits = td.twiddle_in(keys)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL),
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(sv[0]), wv)

@@ -66,7 +66,8 @@ def get_config(
 # Defaults. TPU tiles are sized so the local phase (keys + values + digit
 # scratch) stays comfortably VMEM-resident; CPU (test) tiles are smaller to
 # keep the 8-virtual-device test mesh fast.
-register_config(32, False, "tpu", SortConfig(radix_bits=8, tile_elems=4096))
+register_config(32, False, "tpu", SortConfig(radix_bits=8, tile_elems=4096,
+                                              default_algorithm="msd"))
 register_config(32, True, "tpu", SortConfig(radix_bits=8, tile_elems=4096))
 register_config(64, False, "tpu", SortConfig(radix_bits=8, tile_elems=2048))
 register_config(64, True, "tpu", SortConfig(radix_bits=8, tile_elems=2048))

@@ -23,7 +23,7 @@ needing stability pack a position index into the key.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,10 +95,24 @@ def _merge_network(arrays):
     return arrays
 
 
-def _sort_kernel(*refs, n_ops: int):
+def _sort_kernel(*refs, n_ops: int, pad_rows: int):
     ins, outs = refs[:n_ops], refs[n_ops:]
     arrays = [r[0] for r in ins]  # (ROWS, LANES)
-    arrays = _sort_network(arrays)
+    if pad_rows:
+        # virtual padding to the next power of two: pad sortkeys are the max
+        # uint32, so they sort past every real element and are never written
+        # back (only the first ROWS rows are stored)
+        rows = arrays[0].shape[0]
+        pad0 = jnp.full((pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
+        padded = [jnp.concatenate([arrays[0], pad0], axis=0)]
+        for a in arrays[1:]:
+            padded.append(
+                jnp.concatenate([a, jnp.zeros((pad_rows, LANES), a.dtype)], 0)
+            )
+        arrays = _sort_network(padded)
+        arrays = [a[:rows] for a in arrays]
+    else:
+        arrays = _sort_network(arrays)
     for o, a in zip(outs, arrays):
         o[0] = a
 
@@ -106,24 +120,31 @@ def _sort_kernel(*refs, n_ops: int):
 def sort_tiles(
     operands: Sequence[jax.Array],
     *,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, ...]:
     """Sort each row-tile of the given operands by the first operand.
 
-    Every operand has shape (T, K) with K = ROWS*128 a power of two; tiles
-    (rows of the matrix) are sorted independently, ascending by operand 0
-    (uint32).  Returns the sorted operands.
+    Every operand has shape (T, K) with K a multiple of 128; tiles (rows of
+    the matrix) are sorted independently, ascending by operand 0 (uint32).
+    Non-power-of-two K is virtually padded to the next power of two inside
+    the kernel (pad sortkeys = max uint32, sorting past all real elements —
+    callers using 0xFFFFFFFF as a garbage sentinel get them mixed, which is
+    the intended semantics).  Returns the sorted operands.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     ops = [jnp.asarray(o) for o in operands]
     T, K = ops[0].shape
-    if K % LANES or (K & (K - 1)):
-        raise ValueError(f"tile size {K} must be a power of two multiple of {LANES}")
+    if K % LANES:
+        raise ValueError(f"tile size {K} must be a multiple of {LANES}")
     rows = K // LANES
+    k_pow2 = 1 << (K - 1).bit_length()
+    pad_rows = k_pow2 // LANES - rows
     n = len(ops)
     shaped = [o.reshape(T, rows, LANES) for o in ops]
 
     out = pl.pallas_call(
-        functools.partial(_sort_kernel, n_ops=n),
+        functools.partial(_sort_kernel, n_ops=n, pad_rows=pad_rows),
         out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), o.dtype) for o in ops],
         grid=(T,),
         in_specs=[

@@ -1,0 +1,166 @@
+"""Pallas TPU collapse kernel: drop padded-segment garbage tails.
+
+The final step of the MSD engine: the leaf pass leaves (nseg, seg) segments
+whose first counts[s] elements are valid; this kernel concatenates the valid
+prefixes in order into a dense array — the analog of the reference's final
+output materialization (finished buckets written to the output buffer,
+``msb/src/sort/gpu_radix_sort.h:359-360``).
+
+TPU realization of an order-preserving compaction (there is no scatter):
+the grid walks segment GROUPS in output order (TPU grids execute
+sequentially on-core), each step
+
+  1. DMA-reads back the single output row its stream starts in (the
+     previous step's tail — re-reading the written output is robust even
+     when a tail spans many tiny segments),
+  2. concatenates its G segments' valid prefixes into a VMEM stream buffer
+     with dynamic lane rotates + boundary-row selects,
+  3. DMA-writes the stream to the output at its (dynamic) row offset,
+     overshooting into the next group's territory; the next step overwrites
+     the overshoot.  Adjacent steps' DMAs are ordered by the in-step wait.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusort.kernels.bitonic import LANES
+
+
+def _place(b_ref, src: jax.Array, cursor) -> None:
+    """Write src (rows, 128) into stream buffer b_ref at element offset
+    ``cursor``, preserving b_ref content before the cursor."""
+    rows = src.shape[0]
+    r0 = cursor >> 7
+    l0 = cursor & 127
+    # rot[i, j] = src[i, (j - l0) mod 128]
+    rot = pltpu.roll(src, l0, axis=1)
+    existing = b_ref[pl.ds(r0, 1), :]
+    # output row i: lanes >= l0 come from rot[i] (rot[rows-1] garbage-extended
+    # for the final row), lanes < l0 from rot[i-1] (existing B row for i=0)
+    hi = jnp.concatenate([rot, rot[-1:]], axis=0)          # (rows+1, 128)
+    lo = jnp.concatenate([existing, rot], axis=0)          # (rows+1, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows + 1, LANES), 1)
+    b_ref[pl.ds(r0, rows + 1), :] = jnp.where(lane >= l0, hi, lo)
+
+
+def _collapse_kernel(
+    tbl_ref, *refs, n_data: int, g: int, segrows: int
+):
+    # refs = [data_in x n_data (1, g*segrows, 128)] + [out x n_data (ANY)]
+    #        + scratch: [B x n_data, rowbuf x n_data, sems]
+    ins = refs[:n_data]
+    outs = refs[n_data : 2 * n_data]
+    bufs = refs[2 * n_data : 3 * n_data]
+    rowbufs = refs[3 * n_data : 4 * n_data]
+    sem = refs[4 * n_data]
+
+    row0 = tbl_ref[0, 0, 0]
+    p = tbl_ref[0, 0, 1]
+    brows = g * segrows + 2
+
+    for i in range(n_data):
+        # 1. read back the boundary row already written at row0
+        cp_in = pltpu.make_async_copy(
+            outs[i].at[pl.ds(row0, 1), :], rowbufs[i], sem
+        )
+        cp_in.start()
+        cp_in.wait()
+        bufs[i][pl.ds(0, 1), :] = rowbufs[i][...]
+
+    # 2. concatenate valid prefixes
+    def body(i):
+        cursor = p
+        for s in range(g):
+            c_s = tbl_ref[0, 0, 2 + s]
+            src = ins[i][0, s * segrows : (s + 1) * segrows]
+            _place(bufs[i], src, cursor)
+            cursor = cursor + c_s
+        return cursor
+
+    for i in range(n_data):
+        body(i)
+
+    # 3. write the stream (overshoot garbage is overwritten by next step)
+    for i in range(n_data):
+        cp_out = pltpu.make_async_copy(
+            bufs[i].at[pl.ds(0, brows - 1), :],
+            outs[i].at[pl.ds(row0, brows - 1), :],
+            sem,
+        )
+        cp_out.start()
+        cp_out.wait()
+
+
+def collapse_segments(
+    ops: Sequence[jax.Array],
+    seg_counts: jax.Array,
+    n_out: int,
+    *,
+    group: int = 8,
+    interpret: Optional[bool] = None,
+) -> List[jax.Array]:
+    """Concatenate per-segment valid prefixes into dense (n_out,) arrays.
+
+    ops: (nseg, seg) uint32 arrays (seg multiple of 128); seg_counts:
+    (nseg,) int32 valid prefix lengths, sum >= n_out.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ops = [jnp.asarray(o) for o in ops]
+    nseg, seg = ops[0].shape
+    if seg % LANES:
+        raise ValueError("segment size must be a multiple of 128")
+    while nseg % group:
+        group //= 2
+    segrows = seg // LANES
+    nsteps = nseg // group
+    brows = group * segrows + 2
+
+    offsets = jnp.cumsum(seg_counts) - seg_counts              # (nseg,)
+    g_off = offsets[:: group]                                   # (nsteps,)
+    tbl = jnp.zeros((nsteps, LANES), jnp.int32)
+    tbl = tbl.at[:, 0].set(g_off >> 7)
+    tbl = tbl.at[:, 1].set(g_off & 127)
+    counts_g = seg_counts.reshape(nsteps, group)
+    tbl = tbl.at[:, 2 : 2 + group].set(counts_g.astype(jnp.int32))
+
+    total_rows = nseg * segrows + brows
+    n_data = len(ops)
+    shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _collapse_kernel, n_data=n_data, g=group, segrows=segrows
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)
+            for _ in range(n_data)
+        ],
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((1, group * segrows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_data)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_data)
+        ],
+        scratch_shapes=[pltpu.VMEM((brows, LANES), jnp.uint32)
+                        for _ in range(n_data)]
+        + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_data)]
+        + [pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tbl[:, None, :], *shaped)
+    return [o.reshape(-1)[:n_out] for o in out]

@@ -418,7 +418,15 @@ def sort_twiddled_msd(
     ops, seg_counts = _leaf_sort(
         ops, planes_slice, run_counts, s_prev, plan, use_pallas
     )
-    ops = _compact_xla(ops, seg_counts, plan.seg, n)
+    if use_pallas:
+        from tpusort.kernels.collapse import collapse_segments
+
+        ops = collapse_segments(
+            [o.reshape(plan.n_segments, plan.seg) for o in ops],
+            seg_counts, n,
+        )
+    else:
+        ops = _compact_xla(ops, seg_counts, plan.seg, n)
 
     def _fallback(_):
         sp, sv = sort_twiddled_reference(
