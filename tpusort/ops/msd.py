@@ -306,29 +306,79 @@ def _leaf_sort(
     nseg, seg = plan.n_segments, plan.seg
     tiled = [o.reshape(nseg, seg) for o in ops]
     planes = tiled[planes_slice]
+    nplanes = planes_slice.stop - (planes_slice.start or 0)
 
     valid = _valid_mask(run_counts, s_prev, nseg, seg)
     seg_counts = valid.sum(axis=1, dtype=jnp.int32)
 
-    idx_bits = seg.bit_length() - (0 if (seg & (seg - 1)) else 1)
+    # idx field must have headroom above seg-1 so the per-segment garbage
+    # sentinel (all-ones rem, all-ones idx) sorts strictly after every valid
+    # element of its segment
+    idx_bits = (seg - 1).bit_length()
+    if seg >= (1 << idx_bits):
+        idx_bits += 1
     idx = jnp.arange(seg, dtype=jnp.uint32)[None, :]
     rem = _extract_bits(planes, plan.rem_lo, plan.rem_width).reshape(nseg, seg)
 
-    # strict < 32 so the garbage sentinel 0xFFFFFFFF can never tie with a
-    # genuine (rem, idx) packing (a tie would let compaction drop the wrong
-    # element's payload)
-    if plan.rem_width + idx_bits < 32:
+    # keys are reconstructible from (segment prefix | rem) — so the key
+    # plane need not be carried through the leaf sort — when the partitions
+    # + remainder cover the full single-plane key and every pass used its
+    # full digit width (then segment linear index == bit prefix)
+    consumed = sum(sp.width for sp in plan.passes)
+    full_width = all(
+        sp.width == sp.r.bit_length() - 1 for sp in plan.passes
+    )
+    key_from_sortkey = (
+        nplanes == 1
+        and plan.rem_lo == 0
+        and consumed + plan.rem_width == 32
+        and full_width
+    )
+
+    if plan.rem_width + idx_bits + 1 <= 32:
+        # pack several segments per tile (segid high bits keep each
+        # segment's garbage at its own end); bigger tiles amortize grid
+        # overheads in the bitonic kernel
+        max_tile = 16384
+        pack = 1
+        while (
+            pack * 2 * seg <= max_tile
+            and nseg % (pack * 2) == 0
+            and (pack * 2 - 1).bit_length() + plan.rem_width + idx_bits <= 32
+        ):
+            pack *= 2
+        segid_bits = (pack - 1).bit_length()
+        shift_rem = jnp.uint32(idx_bits)
         sortkey = jnp.where(
             valid,
-            (rem << jnp.uint32(idx_bits)) | idx,
-            jnp.uint32(0xFFFFFFFF),
+            (rem << shift_rem) | idx,
+            jnp.uint32(((1 << (plan.rem_width + idx_bits)) - 1)),
         )
+        if segid_bits:
+            segid = (
+                jnp.arange(nseg, dtype=jnp.uint32)[:, None] % pack
+            ) << jnp.uint32(plan.rem_width + idx_bits)
+            sortkey = sortkey | segid
+        carried = tiled[1:] if key_from_sortkey and nplanes == 1 else tiled
+        to_sort = [sortkey.reshape(nseg // pack, pack * seg)] + [
+            o.reshape(nseg // pack, pack * seg) for o in carried
+        ]
         if use_pallas:
             from tpusort.kernels.bitonic import sort_tiles
 
-            sorted_ops = list(sort_tiles([sortkey] + tiled))[1:]
+            sorted_all = list(sort_tiles(to_sort))
         else:
-            sorted_ops = _sort_tiles_xla([sortkey] + tiled)[1:]
+            sorted_all = _sort_tiles_xla(to_sort)
+        sorted_key = sorted_all[0].reshape(nseg, seg)
+        sorted_ops = [o.reshape(nseg, seg) for o in sorted_all[1:]]
+        if key_from_sortkey:
+            # rebuild the key plane: segment prefix | rem
+            prefix = jnp.arange(nseg, dtype=jnp.uint32)[:, None]
+            rem_sorted = (sorted_key >> shift_rem) & jnp.uint32(
+                (1 << plan.rem_width) - 1
+            )
+            rebuilt = (prefix << jnp.uint32(plan.rem_width)) | rem_sorted
+            sorted_ops = [rebuilt] + sorted_ops
     else:
         # wide remainder (64-bit keys / few passes): multi-key stable sort on
         # the range-masked planes, with the position index as tiebreak.
