@@ -1,0 +1,120 @@
+"""Tests for the query-kernel-library ops: scan, histogram, segmented sort,
+single-tile bitonic fast path (SURVEY.md L-10 subset + L-2 segmented)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpusort
+from tpusort.ops import histogram as th
+from tpusort.ops import scan as ts
+from tpusort.ops import segmented as tseg
+from tpusort.utils import datagen
+from oracle import np_sort_oracle
+
+
+def test_inclusive_exclusive_sum():
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 100, 1000))
+    np.testing.assert_array_equal(np.asarray(ts.inclusive_sum(x)),
+                                  np.cumsum(np.asarray(x)))
+    np.testing.assert_array_equal(
+        np.asarray(ts.exclusive_sum(x)),
+        np.cumsum(np.asarray(x)) - np.asarray(x))
+
+
+def test_generic_scans():
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 1000, 512))
+    got = ts.inclusive_scan(x, jnp.maximum)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.maximum.accumulate(np.asarray(x)))
+    got = ts.exclusive_scan(x, jnp.maximum, identity=0)
+    want = np.roll(np.maximum.accumulate(np.asarray(x)), 1)
+    want[0] = 0
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_segmented_sum():
+    rng = np.random.default_rng(2)
+    x = rng.random(2000).astype(np.float32)
+    ids = rng.integers(0, 16, 2000)
+    got = ts.segmented_sum(jnp.asarray(x), jnp.asarray(ids), 16)
+    want = np.array([x[ids == s].sum() for s in range(16)], np.float32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_histogram_even():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1000, 5000).astype(np.int32)
+    got = th.histogram_even(jnp.asarray(x), 10, 0, 1000)
+    want, _ = np.histogram(x, bins=10, range=(0, 1000))
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # out-of-range values are dropped
+    x2 = np.concatenate([x, np.array([-5, 1000, 2000], np.int32)])
+    got2 = th.histogram_even(jnp.asarray(x2), 10, 0, 1000)
+    np.testing.assert_array_equal(np.asarray(got2), want)
+
+
+def test_digit_histogram():
+    keys = datagen.random_keys(jax.random.key(0), 4096, "uint32")
+    got = th.digit_histogram(keys, shift=8, bits=8, tiles=4)
+    k = np.asarray(keys).reshape(4, 1024)
+    want = np.stack([
+        np.bincount((row >> 8) & 0xFF, minlength=256) for row in k
+    ])
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sort_batched_uniform():
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 2**32, (16, 512), dtype=np.uint32)
+    vals = np.arange(16 * 512, dtype=np.uint32).reshape(16, 512)
+    gk, gv = tseg.sort_batched(jnp.asarray(keys), jnp.asarray(vals),
+                               stable=True)
+    order = np.argsort(keys, axis=1, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk),
+                                  np.take_along_axis(keys, order, 1))
+    np.testing.assert_array_equal(np.asarray(gv),
+                                  np.take_along_axis(vals, order, 1))
+
+
+def test_sort_batched_float_desc():
+    rng = np.random.default_rng(5)
+    keys = rng.standard_normal((8, 256)).astype(np.float32)
+    gk = tseg.sort_batched(jnp.asarray(keys), descending=True)
+    np.testing.assert_array_equal(np.asarray(gk), -np.sort(-keys, axis=1))
+
+
+def test_segmented_sort_ragged():
+    rng = np.random.default_rng(6)
+    n = 5000
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    offs = np.array([0, 17, 17, 1000, 2500, n])
+    gk, gv = tseg.segmented_sort(jnp.asarray(keys), jnp.asarray(offs),
+                                 jnp.asarray(vals))
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    for s in range(len(offs) - 1):
+        lo, hi = offs[s], offs[s + 1]
+        order = np.argsort(keys[lo:hi], kind="stable")
+        np.testing.assert_array_equal(gk[lo:hi], keys[lo:hi][order])
+        np.testing.assert_array_equal(gv[lo:hi], vals[lo:hi][order])
+
+
+@pytest.mark.parametrize("n", [100, 1000, 12288, 16384])
+def test_bitonic_engine_small_n(n):
+    keys = datagen.random_keys(jax.random.key(n), n, "uint32")
+    got = tpusort.sort(keys, algorithm="bitonic")
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np_sort_oracle(np.asarray(keys)))
+
+
+def test_bitonic_engine_pairs_permutation():
+    n = 2048  # multiple of 128: kernel path with payloads
+    keys = datagen.entropy_keys(jax.random.key(7), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    gk, gv = tpusort.sort(keys, vals, algorithm="bitonic")
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    np.testing.assert_array_equal(gk, np_sort_oracle(np.asarray(keys)))
+    assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
+    np.testing.assert_array_equal(np.asarray(keys)[gv], gk)

@@ -70,17 +70,21 @@ register_engine("reference", sort_twiddled_reference)
 register_engine("xla", sort_twiddled_reference)
 
 
-def _register_msd():
+def _register_builtin_engines():
     from tpusort.ops.msd import sort_twiddled_msd
+    from tpusort.ops.small import sort_twiddled_bitonic
 
     register_engine("msd", sort_twiddled_msd)
     # The MSD hybrid here is stable (position-index tiebreaks throughout),
     # so it provides the reference's LSB/stable semantics too; "lsd" is the
     # CUB-parity name (device_radix_sort.cuh:147-660).
     register_engine("lsd", sort_twiddled_msd)
+    # single-tile small-N fast path (InvokeSingleTile / sorting-network
+    # analog); unstable
+    register_engine("bitonic", sort_twiddled_bitonic)
 
 
-_register_msd()
+_register_builtin_engines()
 
 
 def _resolve_engine(algorithm: str, config: _configs.SortConfig) -> Engine:
