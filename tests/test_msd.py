@@ -157,6 +157,38 @@ def test_msd_nonuniform_tail():
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_msd_pallas_interpret_keys_only():
+    """Keys-only fused fast path (1-operand raw-key network, garbage
+    rewritten to 0xFFFFFFFF, raw-key leaf) — interpret mode on CPU."""
+    n = 23_000
+    keys = datagen.random_keys(jax.random.key(12), n, "uint32")
+    planes, traits = td.twiddle_in(keys)
+    sp, _ = msd.sort_twiddled_msd(
+        planes, (), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL),
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    want = np_sort_oracle(np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(gk), want)
+
+
+def test_msd_pallas_interpret_keys_dupes():
+    """Keys-only fast path under heavy duplicates incl. 0xFFFFFFFF ties with
+    garbage slots (the multiset-exactness argument)."""
+    n = 20_000
+    k1 = datagen.entropy_keys(jax.random.key(13), n // 2, 1, "uint32")
+    k2 = jnp.full((n - n // 2,), 0xFFFFFFFF, jnp.uint32)
+    keys = jnp.concatenate([k1, k2])
+    planes, traits = td.twiddle_in(keys)
+    sp, _ = msd.sort_twiddled_msd(
+        planes, (), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL),
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    want = np_sort_oracle(np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(gk), want)
+
+
 def test_msd_pallas_interpret():
     """The Pallas partition + leaf kernels (interpret mode on CPU) must
     produce the same exact output as the XLA path."""

@@ -1,27 +1,37 @@
-"""Pallas TPU partition-pass kernel: fused tile sort + padded run expand.
+"""Pallas TPU partition-pass kernels: fully fused MSD radix pass.
 
-The TPU-native replacement for the reference's partition/scatter kernel
-(``msb/src/sort/cuda_radix_sort.h:374-641`` ``rdxsrt_partition_keys``): where
-the CUDA kernel ranks keys with atomics on shared-memory bucket offsets and
-scatters through global memory, this kernel
+The TPU-native replacement for the reference's histogram + partition/scatter
+kernel pair (``msb/src/sort/cuda_radix_sort.h:666-802`` ``rdxsrt_histogram``,
+``:374-641`` ``rdxsrt_partition_keys``): where the CUDA code runs a separate
+histogram kernel, a planner, then a scatter kernel with atomics on shared
+memory bucket offsets, this kernel fuses the entire pass per VMEM tile:
 
-  1. sorts the VMEM-resident tile by a (digit, idx) sortkey with the bitonic
-     compare-exchange network (stable binning, no atomics),
-  2. expands the R digit runs to padded capacity S with dynamic-start
-     element-granular VMEM slices (sublane slice + dynamic lane rotate +
-     boundary select — the only data-dependent movement TPU does well),
-  3. writes the (R*S,) padded tile; the digit-major global exchange is then
-     a free XLA transpose outside the kernel.
+  1. derives per-element validity from the previous pass's u8 mask (pass 0:
+     from the element index vs n),
+  2. sorts the tile with a batched bitonic compare-exchange network (the
+     keys-only single-plane path sorts the *raw key plane* one-operand, with
+     garbage slots rewritten to 0xFFFFFFFF — multiset-exact for keys-only
+     because replacements equal anything they can displace; the general path
+     sorts a (digit, idx) sortkey carrying planes/payloads),
+  3. computes run starts/counts from the *sorted* tile with compare-reduces
+     (the histogram, for free — no separate kernel, no atomics),
+  4. expands the R digit runs to padded capacity S with dynamic-start
+     element-granular VMEM slices and writes the (R*S,) padded tile plus a
+     u8 validity mask and an (R,) counts row.
 
-Run starts come in precomputed per tile (exclusive scan of the one-hot
-histogram, done in XLA); slots past a run's count hold garbage that
-downstream passes treat as positionally invalid.
+The digit-major global exchange is then a free XLA transpose outside the
+kernel.  Per-run capacity overflow (skew) is detected from the counts output
+by the caller (the analog of the reference's hot-bucket trigger,
+``cuda_radix_sort.h:437-447``).
+
+Batching NB tiles per grid step overlaps the otherwise latency-bound serial
+compare-exchange chain (measured +45% on v5e).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusort.kernels.bitonic import LANES, _sort_network
+
 
 
 def _dynamic_run_slice(scratch_ref, start, srows: int) -> jax.Array:
@@ -46,25 +57,303 @@ def _dynamic_run_slice(scratch_ref, start, srows: int) -> jax.Array:
     return jnp.where(take_same_row, rolled[:srows], rolled[1 : srows + 1])
 
 
+def _linear_pos(nb: int, rows: int) -> jax.Array:
+    """(nb, rows, 128) int32: element index within each tile."""
+    shape = (nb, rows, LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return row * LANES + lane
+
+
+def _valid_from(mask_ref, nb: int, rows: int, k: int, n: Optional[int]):
+    """Per-element validity: from the u8 mask ref, or (pass 0) pos < n."""
+    if mask_ref is not None:
+        return mask_ref[...] != 0
+    pos = _linear_pos(nb, rows)
+    base = pl.program_id(0) * (nb * k)
+    off = jax.lax.broadcasted_iota(jnp.int32, (nb, rows, LANES), 0) * k
+    return (base + off + pos) < n
+
+
+def _extract_bits_arrays(
+    planes: Sequence[jax.Array], lo: int, width: int
+) -> jax.Array:
+    """Bits [lo, lo+width) of the multi-plane key (plane 0 = most
+    significant 32 bits), as uint32.  Mirrors ops.msd._extract_bits."""
+    nplanes = len(planes)
+    out = None
+    for i, pl_ in enumerate(planes):
+        base = 32 * (nplanes - 1 - i)
+        ov_lo = max(lo, base)
+        ov_hi = min(lo + width, base + 32)
+        if ov_hi <= ov_lo:
+            continue
+        m = jnp.uint32((1 << (ov_hi - ov_lo)) - 1)
+        chunk = (pl_ >> jnp.uint32(ov_lo - base)) & m
+        chunk = chunk << jnp.uint32(ov_lo - lo)
+        out = chunk if out is None else out | chunk
+    if out is None:
+        return jnp.zeros_like(planes[0])
+    return out
+
+
+def _emit_runs(
+    sorted_arrays: List[jax.Array],
+    starts,            # list of per-(b) lists of scalar starts, or callable
+    counts,            # per-(b, d) scalar counts
+    outs,
+    mask_out_ref,
+    counts_ref,
+    scratch,
+    *,
+    nb: int,
+    r: int,
+    s: int,
+):
+    """Slice R runs per tile out of the sorted scratch into padded outputs,
+    and write the validity mask + counts row."""
+    rows = sorted_arrays[0].shape[1]
+    srows = s // LANES
+    for sc, a in zip(scratch, sorted_arrays):
+        for b in range(nb):
+            sc[b, :rows] = a[b]
+    lin = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 0) * LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 1)
+    for b in range(nb):
+        for d in range(r):
+            st = starts[b][d]
+            c = counts[b][d]
+            for o, sc in zip(outs, scratch):
+                o[b, d * srows : (d + 1) * srows] = _dynamic_run_slice(
+                    sc.at[b], st, srows
+                )
+            mask_out_ref[b, d * srows : (d + 1) * srows] = (
+                lin < c
+            ).astype(jnp.uint8)
+            counts_ref[b, 0, d] = c
+
+
+def _fused_kernel(
+    *refs,
+    n_planes: int,
+    n_values: int,
+    nb: int,
+    r: int,
+    s: int,
+    k: int,
+    lo_bit: int,
+    width: int,
+    idx_bits: int,
+    n: Optional[int],
+    has_mask: bool,
+    keys_only_fast: bool,
+):
+    # refs layout:
+    #   ins:  planes x n_planes, values x n_values, [mask]
+    #   outs: ops x (n_planes + n_values), mask_out, counts
+    #   scratch: x n_ops_out
+    n_data = n_planes + n_values
+    ins = refs[:n_data]
+    mask_ref = refs[n_data] if has_mask else None
+    base = n_data + (1 if has_mask else 0)
+    outs = refs[base : base + n_data]
+    mask_out_ref = refs[base + n_data]
+    counts_ref = refs[base + n_data + 1]
+    scratch = refs[base + n_data + 2 :]
+
+    rows = k // LANES
+    valid = _valid_from(mask_ref, nb, rows, k, n)
+    planes = [ins[i][...] for i in range(n_planes)]
+    values = [ins[n_planes + i][...] for i in range(n_values)]
+    wmask = jnp.uint32((1 << width) - 1)
+
+    if keys_only_fast:
+        # single-plane keys-only: sort the raw key plane; garbage slots
+        # become 0xFFFFFFFF, which sorts past / ties with only equal keys —
+        # the output multiset is exact for keys-only.
+        plane = jnp.where(valid, planes[0], jnp.uint32(0xFFFFFFFF))
+        (sorted_plane,) = _sort_network([plane])
+        sorted_digit = (sorted_plane >> jnp.uint32(lo_bit)) & wmask
+        n_valid = [
+            jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
+        ]
+        # starts from the sorted tile: garbage (digit == r-1 region) only
+        # affects the top run, whose count is clamped by n_valid
+        starts = []
+        counts = []
+        for b in range(nb):
+            st = [jnp.int32(0)]
+            for d in range(1, r):
+                st.append(
+                    jnp.sum((sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32))
+                )
+            cn = [st[d + 1] - st[d] for d in range(r - 1)]
+            cn.append(n_valid[b] - st[r - 1])
+            starts.append(st)
+            counts.append(cn)
+        _emit_runs(
+            [sorted_plane], starts, counts, outs, mask_out_ref, counts_ref,
+            scratch, nb=nb, r=r, s=s,
+        )
+        return
+
+    # general path: stable (digit, idx) sortkey; planes + values ride along
+    digit = _extract_bits_arrays(planes, lo_bit, width)
+    idx = _linear_pos(nb, rows).astype(jnp.uint32) & jnp.uint32(
+        (1 << idx_bits) - 1
+    )
+    d_or_s = jnp.where(valid, digit, jnp.uint32(r))
+    sortkey = (d_or_s << jnp.uint32(idx_bits)) | idx
+    sorted_all = _sort_network([sortkey] + planes + values)
+    sorted_digit = sorted_all[0] >> jnp.uint32(idx_bits)   # r == garbage
+    starts = []
+    counts = []
+    for b in range(nb):
+        st = [jnp.int32(0)]
+        for d in range(1, r + 1):
+            st.append(
+                jnp.sum((sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32))
+            )
+        starts.append(st[:r])
+        counts.append([st[d + 1] - st[d] for d in range(r)])
+    _emit_runs(
+        sorted_all[1:], starts, counts, outs, mask_out_ref, counts_ref,
+        scratch, nb=nb, r=r, s=s,
+    )
+
+
+def partition_pass_fused(
+    planes: Sequence[jax.Array],
+    values: Sequence[jax.Array],
+    mask: Optional[jax.Array],
+    *,
+    r: int,
+    s: int,
+    lo_bit: int,
+    width: int,
+    n: Optional[int] = None,
+    batch: int = 4,
+    interpret: Optional[bool] = None,
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """One fused MSD partition pass over (T, K) tiles.
+
+    planes/values: (T, K) uint32; mask: (T, K) uint8 validity or None for
+    pass 0 (then ``n`` gives the global valid prefix length).  Returns
+    (padded ops (T, R*S), mask (T, R*S) uint8, counts (T, R) int32).
+    Counts may exceed ``s`` — the caller must check for overflow.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ops = [jnp.asarray(o) for o in list(planes) + list(values)]
+    T, K = ops[0].shape
+    if K % LANES or (K & (K - 1)) or s % LANES:
+        raise ValueError(f"bad tile geometry K={K} S={s}")
+    rows = K // LANES
+    srows = s // LANES
+    n_planes, n_values = len(planes), len(values)
+    n_data = n_planes + n_values
+    idx_bits = K.bit_length() - 1
+    keys_only_fast = n_planes == 1 and n_values == 0
+    if not keys_only_fast and (r << idx_bits) > (1 << 32):
+        raise ValueError("sortkey overflow: r * K must fit in 32 bits")
+    has_mask = mask is not None
+
+    nb = batch
+    while T % nb:
+        nb //= 2
+    nb = max(nb, 1)
+
+    shaped = [o.reshape(T, rows, LANES) for o in ops]
+    inputs = list(shaped)
+    in_specs = [
+        pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_data)
+    ]
+    if has_mask:
+        inputs.append(jnp.asarray(mask).reshape(T, rows, LANES))
+        in_specs.append(
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    n_scratch = 1 if keys_only_fast else n_data
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel,
+            n_planes=n_planes,
+            n_values=n_values,
+            nb=nb,
+            r=r,
+            s=s,
+            k=K,
+            lo_bit=lo_bit,
+            width=width,
+            idx_bits=idx_bits,
+            n=n,
+            has_mask=has_mask,
+            keys_only_fast=keys_only_fast,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint32)
+            for _ in range(n_data)
+        ]
+        + [
+            jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((T, 1, r), jnp.int32),
+        ],
+        grid=(T // nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((nb, r * srows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_data)
+        ]
+        + [
+            pl.BlockSpec((nb, r * srows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # counts are written elementwise as scalars -> SMEM
+            pl.BlockSpec((nb, 1, r), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb, rows + srows + 1, LANES), jnp.uint32)
+            for _ in range(n_scratch)
+        ],
+        interpret=interpret,
+    )(*inputs)
+    data = [o.reshape(T, r * s) for o in out[:n_data]]
+    out_mask = out[n_data].reshape(T, r * s)
+    counts = out[n_data + 1][:, 0, :]
+    return data, out_mask, counts
+
+
+# ---------------------------------------------------------------------------
+# Legacy interface (XLA-side sortkey/starts; used by tests for parity)
+# ---------------------------------------------------------------------------
+
+
 def _partition_kernel(starts_ref, *refs, n_data: int, r: int, s: int):
     # refs = [sortkey_in, data_in x n_data, data_out x n_data,
     #         scratch x n_data]
     ins = refs[: 1 + n_data]
     outs = refs[1 + n_data : 1 + 2 * n_data]
     scratch = refs[1 + 2 * n_data :]
-    arrays = [ref[0] for ref in ins]          # (rows, 128)
+    arrays = [ref[...] for ref in ins]        # (NB, rows, 128)
     arrays = _sort_network(arrays)
-    rows = arrays[0].shape[0]
+    nb, rows, _ = arrays[0].shape
     srows = s // LANES
     for sc, a in zip(scratch, arrays[1:]):
-        sc[:rows] = a                          # tail rows stay garbage:
-        # slots past a run's count are positionally invalid downstream
-    for d in range(r):
-        start = starts_ref[0, 0, d]
-        for o, sc in zip(outs, scratch):
-            o[0, d * srows : (d + 1) * srows] = _dynamic_run_slice(
-                sc, start, srows
-            )
+        for b in range(nb):
+            sc[b, :rows] = a[b]                # tail rows stay garbage:
+            # slots past a run's count are positionally invalid downstream
+    for b in range(nb):
+        for d in range(r):
+            start = starts_ref[b, 0, d]
+            for o, sc in zip(outs, scratch):
+                o[b, d * srows : (d + 1) * srows] = _dynamic_run_slice(
+                    sc.at[b], start, srows
+                )
 
 
 def partition_tiles(
@@ -73,9 +362,10 @@ def partition_tiles(
     *,
     r: int,
     s: int,
+    batch: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> List[jax.Array]:
-    """Fused sort+expand over tiles.
+    """Fused sort+expand over tiles (sortkey + starts computed by caller).
 
     ops: [sortkey, data...] each (T, K) uint32; starts: (T, R) int32 run
     starts within the sorted tile.  Returns data operands expanded to
@@ -90,6 +380,12 @@ def partition_tiles(
     rows = K // LANES
     srows = s // LANES
     n_data = len(ops) - 1
+    if batch is None:
+        batch = 4
+    nb = batch
+    while T % nb:
+        nb //= 2
+    nb = max(nb, 1)
     shaped = [o.reshape(T, rows, LANES) for o in ops]
 
     out = pl.pallas_call(
@@ -98,25 +394,25 @@ def partition_tiles(
             jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint32)
             for _ in range(n_data)
         ],
-        grid=(T,),
+        grid=(T // nb,),
         in_specs=[
-            # (T, 1, 128): starts padded to a lane row (TPU block tiling
-            # rules); per-digit reads are static scalar loads
-            pl.BlockSpec((1, 1, LANES), lambda t: (t, 0, 0),
+            # starts padded to a lane row (TPU block tiling rules);
+            # per-digit reads are static scalar loads
+            pl.BlockSpec((nb, 1, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [
-            pl.BlockSpec((1, rows, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(1 + n_data)
         ],
         out_specs=[
-            pl.BlockSpec((1, r * srows, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((nb, r * srows, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_data)
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows + srows + 1, LANES), jnp.uint32)
+            pltpu.VMEM((nb, rows + srows + 1, LANES), jnp.uint32)
             for _ in range(n_data)
         ],
         interpret=interpret,

@@ -293,22 +293,21 @@ def _partition_pass(
 def _leaf_sort(
     ops: List[jax.Array],
     planes_slice: slice,
-    run_counts: jax.Array,
-    s_prev: int,
+    valid: jax.Array,
     plan: MsdPlan,
     use_pallas: bool,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Sort each final segment by the remaining key bits, stably.
 
-    Returns (ops sorted within segments: valid prefix per segment, followed
-    by garbage; per-segment valid counts).
+    ``valid``: (nseg, seg) bool validity.  Returns (ops sorted within
+    segments: valid prefix per segment, followed by garbage; per-segment
+    valid counts).
     """
     nseg, seg = plan.n_segments, plan.seg
     tiled = [o.reshape(nseg, seg) for o in ops]
     planes = tiled[planes_slice]
     nplanes = planes_slice.stop - (planes_slice.start or 0)
 
-    valid = _valid_mask(run_counts, s_prev, nseg, seg)
     seg_counts = valid.sum(axis=1, dtype=jnp.int32)
 
     # idx field must have headroom above seg-1 so the per-segment garbage
@@ -449,34 +448,57 @@ def sort_twiddled_msd(
             for v in values]
     planes_slice = slice(0, nplanes)
 
-    # pass 0 validity: one run per tile of size K
-    k0 = plan.passes[0].k
-    t0 = plan.m1 // k0
-    run_counts = jnp.clip(
-        n - jnp.arange(t0, dtype=jnp.int32) * k0, 0, k0
-    )
-    s_prev = k0
-
-    overflow = jnp.asarray(False)
-    for spec in plan.passes:
-        ops, run_counts, ovf = _partition_pass(
-            ops, planes_slice, run_counts, s_prev, spec, use_pallas
-        )
-        overflow |= ovf
-        s_prev = spec.s
-
-    ops, seg_counts = _leaf_sort(
-        ops, planes_slice, run_counts, s_prev, plan, use_pallas
-    )
     if use_pallas:
+        ops, valid, overflow = _run_passes_pallas(ops, nplanes, n, plan)
+    else:
+        ops, valid, overflow = _run_passes_xla(
+            ops, planes_slice, n, plan
+        )
+
+    keys_only_raw = (
+        use_pallas
+        and nplanes == 1
+        and not values
+        and plan.rem_lo == 0
+        and begin_bit == 0
+        and end_bit == total_bits == 32
+    )
+    if keys_only_raw:
+        # raw-key leaf: segment prefixes ascend in digit-major order and are
+        # part of the key, so sorting packed tiles of whole segments by the
+        # raw key (garbage -> 0xFFFFFFFF) both finishes each segment and
+        # compacts valid keys to the tile front in globally sorted order.
+        from tpusort.kernels.bitonic import sort_tiles_masked
+
+        pack = 1
+        while (
+            pack * 2 * plan.seg <= (1 << 14)
+            and plan.n_segments % (pack * 2) == 0
+        ):
+            pack *= 2
+        nt = plan.n_segments // pack
+        tile = pack * plan.seg
+        mask_t = valid.reshape(nt, tile)
+        sorted_p = sort_tiles_masked(ops[0].reshape(nt, tile), mask_t)
+        tile_counts = mask_t.astype(jnp.int32).sum(axis=1)
         from tpusort.kernels.collapse import collapse_segments
 
-        ops = collapse_segments(
-            [o.reshape(plan.n_segments, plan.seg) for o in ops],
-            seg_counts, n,
-        )
+        ops = collapse_segments([sorted_p], tile_counts, n)
     else:
-        ops = _compact_xla(ops, seg_counts, plan.seg, n)
+        ops, seg_counts = _leaf_sort(
+            ops, planes_slice,
+            valid.reshape(plan.n_segments, plan.seg) != 0,
+            plan, use_pallas,
+        )
+        if use_pallas:
+            from tpusort.kernels.collapse import collapse_segments
+
+            ops = collapse_segments(
+                [o.reshape(plan.n_segments, plan.seg) for o in ops],
+                seg_counts, n,
+            )
+        else:
+            ops = _compact_xla(ops, seg_counts, plan.seg, n)
 
     def _fallback(_):
         sp, sv = sort_twiddled_reference(
@@ -495,3 +517,62 @@ def sort_twiddled_msd(
         o.view(jnp.asarray(v).dtype) for o, v in zip(ops[nplanes:], values)
     )
     return out_planes, out_values
+
+
+def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
+    """Digit-major global exchange within each segment (free XLA transpose)."""
+    o4 = o.reshape(spec.n_seg, spec.t_seg, spec.r, spec.s)
+    return o4.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _run_passes_pallas(
+    ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """All partition passes via the fused kernel; validity rides as a u8
+    mask array between passes.  Returns (ops, final mask (m,), overflow)."""
+    from tpusort.kernels.partition import partition_pass_fused
+
+    mask = None
+    overflow = jnp.asarray(False)
+    for i, spec in enumerate(plan.passes):
+        t = spec.n_seg * spec.t_seg
+        tiled = [o.reshape(t, spec.k) for o in ops]
+        m_tiled = None if mask is None else mask.reshape(t, spec.k)
+        data, out_mask, counts = partition_pass_fused(
+            tiled[:nplanes],
+            tiled[nplanes:],
+            m_tiled,
+            r=spec.r,
+            s=spec.s,
+            lo_bit=spec.lo_bit,
+            width=spec.width,
+            n=(n if mask is None else None),
+        )
+        overflow |= jnp.any(counts > spec.s)
+        ops = [_exchange(d.reshape(-1), spec) for d in data]
+        mask = _exchange(out_mask.reshape(-1), spec)
+    return ops, mask, overflow
+
+
+def _run_passes_xla(
+    ops: List[jax.Array], planes_slice: slice, n: int, plan: MsdPlan
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """Reference XLA pass pipeline (CPU-runnable; counts-derived validity).
+    Returns (ops, final validity as (m,) uint8, overflow)."""
+    k0 = plan.passes[0].k
+    t0 = plan.m1 // k0
+    run_counts = jnp.clip(
+        n - jnp.arange(t0, dtype=jnp.int32) * k0, 0, k0
+    )
+    s_prev = k0
+    overflow = jnp.asarray(False)
+    for spec in plan.passes:
+        ops, run_counts, ovf = _partition_pass(
+            ops, planes_slice, run_counts, s_prev, spec, False
+        )
+        overflow |= ovf
+        s_prev = spec.s
+    valid = _valid_mask(
+        run_counts, s_prev, plan.n_segments, plan.seg
+    ).astype(jnp.uint8).reshape(-1)
+    return ops, valid, overflow
