@@ -1,25 +1,45 @@
-"""Throwaway: stage-by-stage timing of the real MSD pipeline at 2^28."""
-import time
-import jax, jax.numpy as jnp, numpy as np
-from tpusort.ops import msd
+"""Per-stage timing of the fused MSD pipeline on the real chip.
 
-N = 1 << 28
+Run from the repo root: ``python benchmarks/pipeline_profile.py [log2n]``.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusort.ops import msd
+from tpusort.kernels.partition import partition_pass_fused
+from tpusort.kernels.bitonic import sort_tiles_masked
+from tpusort.kernels.collapse import collapse_segments
+
+N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 28)
+
 
 @jax.jit
 def _probe(o):
     return jax.tree.leaves(o)[0].ravel()[:8]
 
+
 def _sync(out):
     return np.asarray(_probe(out))
+
 
 def bench(name, fn, *args, iters=2):
     f = jax.jit(fn)
     _sync(f(*args))
     ts = []
     for _ in range(iters):
-        t0 = time.perf_counter(); _sync(f(*args)); ts.append(time.perf_counter()-t0)
-    print(f"{name:40s} {min(ts)*1e3:9.2f} ms")
-    return f, min(ts)
+        t0 = time.perf_counter()
+        _sync(f(*args))
+        ts.append(time.perf_counter() - t0)
+    print(f"{name:44s} {min(ts)*1e3:9.2f} ms")
+    return f
+
 
 plan = msd.plan_msd(N, 0, 32)
 print("plan:", [(p.n_seg, p.t_seg, p.k, p.r, p.s) for p in plan.passes],
@@ -27,35 +47,46 @@ print("plan:", [(p.n_seg, p.t_seg, p.k, p.r, p.s) for p in plan.passes],
       "mfinal", plan.m_final)
 
 keys = jax.random.bits(jax.random.key(0), (N,), dtype=jnp.uint32)
-noop, _ = bench("noop", lambda a: a, keys[:8])
+bench("noop", lambda a: a, keys[:8])
 
 ops = [jnp.pad(keys, (0, plan.m1 - N))]
-k0 = plan.passes[0].k
-t0n = plan.m1 // k0
-run_counts = jnp.clip(N - jnp.arange(t0n, dtype=jnp.int32) * k0, 0, k0)
-s_prev = k0
-
-state = (ops, run_counts)
+mask = None
+state = (ops, mask)
 for i, spec in enumerate(plan.passes):
-    sp = s_prev
-    def pass_fn(ops_, rc_, spec=spec, sp=sp):
-        o, rc, ovf = msd._partition_pass(list(ops_), slice(0, 1), rc_, sp,
-                                         spec, True)
-        return o, rc
-    f, dt = bench(f"partition pass {i} (m={state[0][0].shape[0]>>20}M)",
-                  pass_fn, state[0], state[1])
-    state = f(state[0], state[1])
-    s_prev = spec.s
+    def pass_fn(ops_, mask_, spec=spec, first=(i == 0)):
+        t = spec.n_seg * spec.t_seg
+        tiled = [o.reshape(t, spec.k) for o in ops_]
+        m = None if first else mask_.reshape(t, spec.k)
+        data, out_mask, counts = partition_pass_fused(
+            tiled[:1], tiled[1:], m, r=spec.r, s=spec.s,
+            lo_bit=spec.lo_bit, width=spec.width,
+            n=(N if first else None))
+        o2 = [msd._exchange(d.reshape(-1), spec) for d in data]
+        m2 = msd._exchange(out_mask.reshape(-1), spec)
+        return o2, m2
+    args = (state[0],) if i == 0 else (state[0], state[1])
+    f = bench(f"fused pass {i} (m={state[0][0].shape[0]>>20}M)",
+              lambda o, m=None, _f=pass_fn: _f(o, m),
+              *( (state[0], state[1]) if i else (state[0], None) ))
+    state = f(*((state[0], state[1]) if i else (state[0], None)))
 
-def leaf_fn(ops_, rc_):
-    o, sc = msd._leaf_sort(list(ops_), slice(0, 1), rc_, s_prev, plan, True)
-    return o, sc
-f, dt = bench(f"leaf sort (m={state[0][0].shape[0]>>20}M)",
-              leaf_fn, state[0], state[1])
-leaf_out = f(state[0], state[1])
+pack = 1
+while pack * 2 * plan.seg <= (1 << 14) and plan.n_segments % (pack * 2) == 0:
+    pack *= 2
+nt = plan.n_segments // pack
+tile = pack * plan.seg
+print(f"leaf tile = {tile} (pack {pack}, nt {nt})")
 
-from tpusort.kernels.collapse import collapse_segments
-def coll_fn(ops_, sc_):
-    return collapse_segments(
-        [o.reshape(plan.n_segments, plan.seg) for o in ops_], sc_, N)
-bench("collapse", coll_fn, leaf_out[0], leaf_out[1])
+
+def leaf_fn(ops_, mask_):
+    m = mask_.reshape(nt, tile)
+    s = sort_tiles_masked(ops_[0].reshape(nt, tile), m)
+    return s, m.astype(jnp.int32).sum(axis=1)
+
+
+f = bench(f"leaf raw-key (m={state[0][0].shape[0]>>20}M)",
+          leaf_fn, state[0], state[1])
+sorted_p, tile_counts = f(state[0], state[1])
+
+bench("collapse", lambda s, c: collapse_segments([s.reshape(nt, tile)], c, N),
+      sorted_p, tile_counts)

@@ -189,6 +189,20 @@ def test_msd_pallas_interpret_keys_dupes():
     np.testing.assert_array_equal(np.asarray(gk), want)
 
 
+def test_msd_pallas_no_false_fallback():
+    """Uniform keys must NOT trip the overflow fallback — a silently-firing
+    fallback masks kernel bugs behind correct-but-slow output (regression:
+    the first merge-network attempt miscompiled and hid exactly this way)."""
+    n = 23_000
+    keys = datagen.random_keys(jax.random.key(14), n, "uint32")
+    planes, _ = td.twiddle_in(keys)
+    plan = msd.plan_msd(n, 0, 32, **{k: v for k, v in SMALL.items()
+                                      if k != "min_n"})
+    ops = [jnp.pad(planes[0], (0, plan.m1 - n))]
+    _, _, overflow = msd._run_passes_pallas(ops, 1, n, plan)
+    assert not bool(overflow), "overflow fallback fired on uniform input"
+
+
 def test_msd_pallas_interpret():
     """The Pallas partition + leaf kernels (interpret mode on CPU) must
     produce the same exact output as the XLA path."""

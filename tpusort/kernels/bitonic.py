@@ -104,6 +104,42 @@ def _merge_network(arrays):
     return arrays
 
 
+def _reverse_within(x: jax.Array, run: int) -> jax.Array:
+    """Value at index (i XOR (run-1)) — reverses every ``run``-aligned
+    block.  Composes single-bit XOR partner moves (Batcher's (i, i+d)
+    addition pairing cannot be expressed with lane rolls because carries
+    cross the 128-lane row; XOR pairings never do)."""
+    for j in range(run.bit_length() - 1):
+        x = _partner(x, j)
+    return x
+
+
+def _merge_sorted_runs(arrays, run_in: int):
+    """Sort each trailing (ROWS, LANES) tile given contiguous ``run_in``-
+    element subruns already sorted ascending, by entering the standard
+    bitonic sort network at phase log2(run_in).
+
+    The network's phase-k invariant wants 2^k blocks alternately asc/desc
+    (by bit k of the index), so odd runs are physically reversed first —
+    a one-time XOR-decomposed reversal (~3*log2(run) ops) vs the 45+
+    full-sort stages skipped.  E.g. 512-sorted runs -> 16384 tile in 60
+    stages instead of 105.
+    """
+    shape = arrays[0].shape
+    rows, lanes = shape[-2], shape[-1]
+    n_bits = (rows * lanes).bit_length() - 1
+    k0 = run_in.bit_length() - 1
+    if run_in > 1:
+        odd = _bit(shape, k0) == 1
+        arrays = [
+            jnp.where(odd, _reverse_within(a, run_in), a) for a in arrays
+        ]
+    for k in range(k0, n_bits):
+        for j in range(k, -1, -1):
+            arrays = _compare_exchange(arrays, j, k)
+    return arrays
+
+
 def _sort_kernel(*refs, n_ops: int, pad_rows: int):
     ins, outs = refs[:n_ops], refs[n_ops:]
     arrays = [r[...] for r in ins]  # (NB, ROWS, LANES)
@@ -128,19 +164,29 @@ def _sort_kernel(*refs, n_ops: int, pad_rows: int):
         o[...] = a
 
 
-def _masked_sort_kernel(in_ref, mask_ref, out_ref, *, pad_rows: int):
+def _masked_sort_kernel(in_ref, mask_ref, out_ref, *, pad_rows: int,
+                        sorted_run: int = 0):
     """Keys-only leaf sort: garbage slots (mask == 0) are rewritten to
     0xFFFFFFFF and the raw keys sorted one-operand.  Multiset-exact for
-    keys-only (a garbage 0xFFFFFFFF can only displace an equal key)."""
+    keys-only (a garbage 0xFFFFFFFF can only displace an equal key).
+    ``sorted_run``: input already has sorted subruns of that pow2 length
+    (merge network, incl. virtual 0xFFFFFFFF pad runs)."""
     a = in_ref[...]
     a = jnp.where(mask_ref[...] != 0, a, jnp.uint32(0xFFFFFFFF))
     if pad_rows:
         nb, rows, _ = a.shape
         pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-        (s,) = _sort_network([jnp.concatenate([a, pad], axis=1)])
+        a = jnp.concatenate([a, pad], axis=1)
+        if sorted_run:
+            (s,) = _merge_sorted_runs([a], sorted_run)
+        else:
+            (s,) = _sort_network([a])
         out_ref[...] = s[:, :rows]
     else:
-        (s,) = _sort_network([a])
+        if sorted_run:
+            (s,) = _merge_sorted_runs([a], sorted_run)
+        else:
+            (s,) = _sort_network([a])
         out_ref[...] = s
 
 
@@ -148,6 +194,7 @@ def sort_tiles_masked(
     op: jax.Array,
     mask: jax.Array,
     *,
+    sorted_run: int = 0,
     batch: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -165,8 +212,11 @@ def sort_tiles_masked(
     pad_rows = k_pow2 // LANES - rows
     nb = _pick_batch(T, K, 1, batch)
 
+    if sorted_run and (K % sorted_run or pad_rows * LANES % sorted_run):
+        sorted_run = 0
     (out,) = pl.pallas_call(
-        functools.partial(_masked_sort_kernel, pad_rows=pad_rows),
+        functools.partial(_masked_sort_kernel, pad_rows=pad_rows,
+                          sorted_run=sorted_run),
         out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32)],
         grid=(T // nb,),
         in_specs=[

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusort.kernels.bitonic import LANES, _sort_network
+from tpusort.kernels.bitonic import LANES, _merge_sorted_runs, _sort_network
 
 
 
@@ -147,6 +147,7 @@ def _fused_kernel(
     n: Optional[int],
     has_mask: bool,
     keys_only_fast: bool,
+    sorted_run: Optional[int],
 ):
     # refs layout:
     #   ins:  planes x n_planes, values x n_values, [mask]
@@ -172,7 +173,14 @@ def _fused_kernel(
         # become 0xFFFFFFFF, which sorts past / ties with only equal keys —
         # the output multiset is exact for keys-only.
         plane = jnp.where(valid, planes[0], jnp.uint32(0xFFFFFFFF))
-        (sorted_plane,) = _sort_network([plane])
+        if sorted_run:
+            # input windows are monotone slices of previously sorted tiles;
+            # garbage tails rewritten to 0xFFFFFFFF keep each pow2-aligned
+            # subrun sorted, so a merge network suffices (60-69 stages vs
+            # 105 for the full sort)
+            (sorted_plane,) = _merge_sorted_runs([plane], sorted_run)
+        else:
+            (sorted_plane,) = _sort_network([plane])
         sorted_digit = (sorted_plane >> jnp.uint32(lo_bit)) & wmask
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
@@ -232,6 +240,7 @@ def partition_pass_fused(
     lo_bit: int,
     width: int,
     n: Optional[int] = None,
+    sorted_run: Optional[int] = None,
     batch: int = 4,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
@@ -293,6 +302,7 @@ def partition_pass_fused(
             n=n,
             has_mask=has_mask,
             keys_only_fast=keys_only_fast,
+            sorted_run=(sorted_run if keys_only_fast else None),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint32)

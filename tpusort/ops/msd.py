@@ -479,7 +479,11 @@ def sort_twiddled_msd(
         nt = plan.n_segments // pack
         tile = pack * plan.seg
         mask_t = valid.reshape(nt, tile)
-        sorted_p = sort_tiles_masked(ops[0].reshape(nt, tile), mask_t)
+        last_s = plan.passes[-1].s
+        sorted_p = sort_tiles_masked(
+            ops[0].reshape(nt, tile), mask_t,
+            sorted_run=(last_s & -last_s),
+        )
         tile_counts = mask_t.astype(jnp.int32).sum(axis=1)
         from tpusort.kernels.collapse import collapse_segments
 
@@ -534,10 +538,15 @@ def _run_passes_pallas(
 
     mask = None
     overflow = jnp.asarray(False)
+    prev_s = None
     for i, spec in enumerate(plan.passes):
         t = spec.n_seg * spec.t_seg
         tiled = [o.reshape(t, spec.k) for o in ops]
         m_tiled = None if mask is None else mask.reshape(t, spec.k)
+        # emitted windows are monotone slices of fully sorted tiles, so the
+        # largest pow2 divisor of the previous pass's run size gives sorted
+        # subruns -> merge network instead of full sort (keys-only path)
+        sorted_run = None if prev_s is None else (prev_s & -prev_s)
         data, out_mask, counts = partition_pass_fused(
             tiled[:nplanes],
             tiled[nplanes:],
@@ -547,7 +556,9 @@ def _run_passes_pallas(
             lo_bit=spec.lo_bit,
             width=spec.width,
             n=(n if mask is None else None),
+            sorted_run=sorted_run,
         )
+        prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
         ops = [_exchange(d.reshape(-1), spec) for d in data]
         mask = _exchange(out_mask.reshape(-1), spec)
