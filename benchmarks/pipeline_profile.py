@@ -52,15 +52,17 @@ bench("noop", lambda a: a, keys[:8])
 ops = [jnp.pad(keys, (0, plan.m1 - N))]
 mask = None
 state = (ops, mask)
+prev_s = [None]
 for i, spec in enumerate(plan.passes):
-    def pass_fn(ops_, mask_, spec=spec, first=(i == 0)):
+    def pass_fn(ops_, mask_, spec=spec, first=(i == 0), ps=prev_s[0]):
         t = spec.n_seg * spec.t_seg
         tiled = [o.reshape(t, spec.k) for o in ops_]
         m = None if first else mask_.reshape(t, spec.k)
         data, out_mask, counts = partition_pass_fused(
             tiled[:1], tiled[1:], m, r=spec.r, s=spec.s,
             lo_bit=spec.lo_bit, width=spec.width,
-            n=(N if first else None))
+            n=(N if first else None),
+            sorted_run=(None if ps is None else (ps & -ps)))
         o2 = [msd._exchange(d.reshape(-1), spec) for d in data]
         m2 = msd._exchange(out_mask.reshape(-1), spec)
         return o2, m2
@@ -69,6 +71,7 @@ for i, spec in enumerate(plan.passes):
               lambda o, m=None, _f=pass_fn: _f(o, m),
               *( (state[0], state[1]) if i else (state[0], None) ))
     state = f(*((state[0], state[1]) if i else (state[0], None)))
+    prev_s[0] = spec.s
 
 pack = 1
 while pack * 2 * plan.seg <= (1 << 14) and plan.n_segments % (pack * 2) == 0:
@@ -80,7 +83,9 @@ print(f"leaf tile = {tile} (pack {pack}, nt {nt})")
 
 def leaf_fn(ops_, mask_):
     m = mask_.reshape(nt, tile)
-    s = sort_tiles_masked(ops_[0].reshape(nt, tile), m)
+    last_s = plan.passes[-1].s
+    s = sort_tiles_masked(ops_[0].reshape(nt, tile), m,
+                          sorted_run=(last_s & -last_s))
     return s, m.astype(jnp.int32).sum(axis=1)
 
 
