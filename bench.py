@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--log2n", type=int, default=28)
     ap.add_argument("--algorithm", default="auto")
     ap.add_argument("--pairs", action="store_true")
+    ap.add_argument("--unstable", action="store_true",
+                    help="unstable pair semantics (reference MSB parity)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -64,7 +66,9 @@ def main():
     if args.pairs:
         vals = jnp.arange(n, dtype=jnp.uint32)
         fn = jax.jit(
-            lambda k, v: tpusort.sort(k, v, algorithm=args.algorithm)
+            lambda k, v: tpusort.sort(
+                k, v, algorithm=args.algorithm, stable=not args.unstable
+            )
         )
         dt = _time(fn, keys, vals, iters=args.iters) - overhead
         metric = "pairs_per_sec_per_chip"

@@ -218,3 +218,59 @@ def test_msd_pallas_interpret():
     wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
     np.testing.assert_array_equal(np.asarray(gk), wk)
     np.testing.assert_array_equal(np.asarray(sv[0]), wv)
+
+
+def test_msd_unstable_pairs_interpret():
+    """Unstable raw-key pairs fast path: keys exact, (key, value) multiset
+    preserved (reference rdxsrt_unstable_sort_pairs semantics)."""
+    n = 22_000
+    keys = datagen.entropy_keys(jax.random.key(15), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    planes, traits = td.twiddle_in(keys)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL), stable=False,
+    )
+    gk = np.asarray(td.twiddle_out(sp, traits, dtype=keys.dtype))
+    gv = np.asarray(sv[0])
+    wk = np.sort(np.asarray(keys))
+    np.testing.assert_array_equal(gk, wk)
+    got_pairs = sorted(zip(gk.tolist(), gv.tolist()))
+    want_pairs = sorted(zip(np.asarray(keys).tolist(),
+                            np.asarray(vals).tolist()))
+    assert got_pairs == want_pairs
+
+
+def test_msd_unstable_pairs_sentinel_collision():
+    """Valid 0xFFFFFFFF keys + unstable pairs must take the exact fallback."""
+    n = 20_000
+    keys = jnp.concatenate([
+        datagen.random_keys(jax.random.key(16), n - 100, "uint32"),
+        jnp.full((100,), 0xFFFFFFFF, jnp.uint32),
+    ])
+    vals = datagen.enumerated_values(n)
+    planes, traits = td.twiddle_in(keys)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL), stable=False,
+    )
+    gk = np.asarray(td.twiddle_out(sp, traits, dtype=keys.dtype))
+    gv = np.asarray(sv[0])
+    np.testing.assert_array_equal(gk, np.sort(np.asarray(keys)))
+    got_pairs = sorted(zip(gk.tolist(), gv.tolist()))
+    want_pairs = sorted(zip(np.asarray(keys).tolist(),
+                            np.asarray(vals).tolist()))
+    assert got_pairs == want_pairs
+
+
+def test_api_unstable_entry_points():
+    n = 30_000
+    keys = datagen.random_keys(jax.random.key(17), n, "uint32")
+    vals = datagen.enumerated_values(n)
+    gk, gv = tpusort.unstable_sort_pairs(keys, vals)
+    got_pairs = sorted(zip(np.asarray(gk).tolist(), np.asarray(gv).tolist()))
+    want_pairs = sorted(zip(np.asarray(keys).tolist(),
+                            np.asarray(vals).tolist()))
+    assert got_pairs == want_pairs
+    gk2 = tpusort.unstable_sort_keys(keys)
+    np.testing.assert_array_equal(np.asarray(gk2), np.sort(np.asarray(keys)))

@@ -16,6 +16,8 @@ from tpusort.api import (
     sort_keys_descending,
     sort_pairs,
     sort_pairs_descending,
+    unstable_sort_keys,
+    unstable_sort_pairs,
 )
 from tpusort.configs import SortConfig, get_config, register_config
 

@@ -38,6 +38,8 @@ __all__ = [
     "sort_keys_descending",
     "sort_pairs",
     "sort_pairs_descending",
+    "unstable_sort_keys",
+    "unstable_sort_pairs",
     "register_engine",
     "available_engines",
 ]
@@ -75,6 +77,12 @@ def _register_builtin_engines():
     from tpusort.ops.small import sort_twiddled_bitonic
 
     register_engine("msd", sort_twiddled_msd)
+    # unstable pairs fast path: raw-key 2-operand networks, the analog of
+    # the reference's rdxsrt_unstable_sort_pairs
+    # (msb/src/sort/gpu_radix_sort.h:544-587)
+    register_engine(
+        "msd_unstable", functools.partial(sort_twiddled_msd, stable=False)
+    )
     # The MSD hybrid here is stable (position-index tiebreaks throughout),
     # so it provides the reference's LSB/stable semantics too; "lsd" is the
     # CUB-parity name (device_radix_sort.cuh:147-660).
@@ -121,6 +129,7 @@ def _normalize_values(values) -> Tuple[Tuple[jax.Array, ...], bool, bool]:
         "end_bit",
         "algorithm",
         "dimension",
+        "stable",
     ),
 )
 def _sort_impl(
@@ -132,6 +141,7 @@ def _sort_impl(
     end_bit: Optional[int],
     algorithm: str,
     dimension: int,
+    stable: bool = True,
 ):
     if dimension != 0 or keys.ndim != 1:
         raise NotImplementedError("tpusort currently sorts 1-D arrays")
@@ -141,6 +151,9 @@ def _sort_impl(
     if not (0 <= begin_bit < eb <= total_bits):
         raise ValueError(f"invalid bit range [{begin_bit}, {eb}) for {traits.name}")
     cfg = _configs.get_config(total_bits, bool(values_tuple))
+    if not stable and algorithm in ("auto", "msd", "lsd") and \
+            "msd_unstable" in _ENGINES:
+        algorithm = "msd_unstable"
     engine = _resolve_engine(algorithm, cfg)
     sorted_planes, sorted_values = engine(
         planes,
@@ -163,14 +176,18 @@ def sort(
     begin_bit: int = 0,
     end_bit: Optional[int] = None,
     algorithm: str = "auto",
+    stable: bool = True,
 ):
-    """Stable radix sort of ``keys`` (optionally carrying ``values``).
+    """Radix sort of ``keys`` (optionally carrying ``values``).
 
     Parameters mirror the reference API surface: ``descending`` (CUB
     ``SortKeysDescending``/``SortPairsDescending``), ``begin_bit``/``end_bit``
     sub-range comparison, and ``values`` as either a single array or a tuple
-    of payload arrays.  Returns sorted keys, or ``(keys, values)`` when
-    values are given.
+    of payload arrays.  ``stable=False`` permits reordering of equal-key
+    payloads for speed (the reference MSB sort's semantics,
+    ``msb/src/sort/gpu_radix_sort.h:197``); keys-only output is identical
+    either way.  Returns sorted keys, or ``(keys, values)`` when values are
+    given.
     """
     vt, had, single = _normalize_values(values)
     out_keys, out_vals = _sort_impl(
@@ -181,6 +198,7 @@ def sort(
         end_bit=end_bit,
         algorithm=algorithm,
         dimension=0,
+        stable=stable,
     )
     if not had:
         return out_keys
@@ -225,3 +243,15 @@ def sort_pairs(keys, values, **kw):
 
 def sort_pairs_descending(keys, values, **kw):
     return sort(keys, values, descending=True, **kw)
+
+
+# MSB-flavored unstable entry points (rdxsrt_unstable_sort_keys/pairs,
+# msb/src/sort/gpu_radix_sort.h:511-587)
+
+
+def unstable_sort_keys(keys, **kw):
+    return sort(keys, stable=False, **kw)
+
+
+def unstable_sort_pairs(keys, values, **kw):
+    return sort(keys, values, stable=False, **kw)

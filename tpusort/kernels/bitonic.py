@@ -164,74 +164,82 @@ def _sort_kernel(*refs, n_ops: int, pad_rows: int):
         o[...] = a
 
 
-def _masked_sort_kernel(in_ref, mask_ref, out_ref, *, pad_rows: int,
+def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
                         sorted_run: int = 0):
-    """Keys-only leaf sort: garbage slots (mask == 0) are rewritten to
-    0xFFFFFFFF and the raw keys sorted one-operand.  Multiset-exact for
-    keys-only (a garbage 0xFFFFFFFF can only displace an equal key).
+    """Raw-key leaf sort: garbage slots (mask == 0) are rewritten to
+    0xFFFFFFFF and the raw keys sorted, any payload operands riding along.
+    Multiset-exact for keys-only; for pairs the caller pre-checks that no
+    valid key equals 0xFFFFFFFF (unstable-pairs semantics).
     ``sorted_run``: input already has sorted subruns of that pow2 length
     (merge network, incl. virtual 0xFFFFFFFF pad runs)."""
-    a = in_ref[...]
-    a = jnp.where(mask_ref[...] != 0, a, jnp.uint32(0xFFFFFFFF))
+    ins = refs[:n_ops]
+    mask_ref = refs[n_ops]
+    outs = refs[n_ops + 1:]
+    arrays = [r[...] for r in ins]
+    arrays[0] = jnp.where(mask_ref[...] != 0, arrays[0],
+                          jnp.uint32(0xFFFFFFFF))
+    rows = arrays[0].shape[1]
     if pad_rows:
-        nb, rows, _ = a.shape
-        pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-        a = jnp.concatenate([a, pad], axis=1)
-        if sorted_run:
-            (s,) = _merge_sorted_runs([a], sorted_run)
-        else:
-            (s,) = _sort_network([a])
-        out_ref[...] = s[:, :rows]
+        nb = arrays[0].shape[0]
+        pad0 = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
+        padded = [jnp.concatenate([arrays[0], pad0], axis=1)]
+        for a in arrays[1:]:
+            padded.append(jnp.concatenate(
+                [a, jnp.zeros((nb, pad_rows, LANES), a.dtype)], 1))
+        arrays = padded
+    if sorted_run:
+        arrays = _merge_sorted_runs(arrays, sorted_run)
     else:
-        if sorted_run:
-            (s,) = _merge_sorted_runs([a], sorted_run)
-        else:
-            (s,) = _sort_network([a])
-        out_ref[...] = s
+        arrays = _sort_network(arrays)
+    for o, a in zip(outs, arrays):
+        o[...] = a[:, :rows]
 
 
 def sort_tiles_masked(
-    op: jax.Array,
+    op,
     mask: jax.Array,
     *,
     sorted_run: int = 0,
     batch: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> jax.Array:
-    """Sort each row-tile of ``op`` (T, K) uint32 ascending, treating slots
-    with mask == 0 as garbage (they come out as 0xFFFFFFFF at the tile tail,
-    after every valid element or tied with equal valid keys)."""
+):
+    """Sort each row-tile ascending by the raw key, treating slots with
+    mask == 0 as garbage (they come out as 0xFFFFFFFF at the tile tail,
+    after every valid element or tied with equal valid keys).
+
+    ``op`` may be a single (T, K) uint32 array (returns one array) or a
+    list [keys, payload...] (returns the list, payloads permuted with the
+    keys — unstable on ties, reference rdxsrt_unstable_sort semantics)."""
+    single = not isinstance(op, (list, tuple))
+    ops = [jnp.asarray(op)] if single else [jnp.asarray(o) for o in op]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    op = jnp.asarray(op)
-    T, K = op.shape
+    T, K = ops[0].shape
     if K % LANES:
         raise ValueError(f"tile size {K} must be a multiple of {LANES}")
     rows = K // LANES
     k_pow2 = 1 << (K - 1).bit_length()
     pad_rows = k_pow2 // LANES - rows
-    nb = _pick_batch(T, K, 1, batch)
+    n_ops = len(ops)
+    nb = _pick_batch(T, K, n_ops, batch)
 
     if sorted_run and (K % sorted_run or pad_rows * LANES % sorted_run):
         sorted_run = 0
-    (out,) = pl.pallas_call(
-        functools.partial(_masked_sort_kernel, pad_rows=pad_rows,
-                          sorted_run=sorted_run),
-        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32)],
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_masked_sort_kernel, n_ops=n_ops,
+                          pad_rows=pad_rows, sorted_run=sorted_run),
+        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), o.dtype)
+                   for o in ops],
         grid=(T // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ],
+        in_specs=[spec] * (n_ops + 1),
+        out_specs=[spec] * n_ops,
         interpret=interpret,
-    )(op.reshape(T, rows, LANES), mask.reshape(T, rows, LANES))
-    return out.reshape(T, K)
+    )(*[o.reshape(T, rows, LANES) for o in ops],
+      mask.reshape(T, rows, LANES))
+    out = [o.reshape(T, K) for o in out]
+    return out[0] if single else out
 
 
 def _pick_batch(t: int, k: int, n_ops: int, batch: Optional[int]) -> int:

@@ -169,18 +169,23 @@ def _fused_kernel(
     wmask = jnp.uint32((1 << width) - 1)
 
     if keys_only_fast:
-        # single-plane keys-only: sort the raw key plane; garbage slots
-        # become 0xFFFFFFFF, which sorts past / ties with only equal keys —
-        # the output multiset is exact for keys-only.
+        # raw-key fast path: sort the key plane itself; garbage slots become
+        # 0xFFFFFFFF, which sorts past / ties with only equal keys.  For
+        # keys-only the output multiset is exact; with payloads the caller
+        # pre-checks globally that no valid key equals 0xFFFFFFFF (else the
+        # overflow fallback fires), so ties never mix payloads.  Unstable
+        # for pairs — the analog of the reference's rdxsrt_unstable_sort
+        # (msb/src/sort/gpu_radix_sort.h:197).
         plane = jnp.where(valid, planes[0], jnp.uint32(0xFFFFFFFF))
         if sorted_run:
             # input windows are monotone slices of previously sorted tiles;
             # garbage tails rewritten to 0xFFFFFFFF keep each pow2-aligned
             # subrun sorted, so a merge network suffices (60-69 stages vs
             # 105 for the full sort)
-            (sorted_plane,) = _merge_sorted_runs([plane], sorted_run)
+            sorted_all = _merge_sorted_runs([plane] + values, sorted_run)
         else:
-            (sorted_plane,) = _sort_network([plane])
+            sorted_all = _sort_network([plane] + values)
+        sorted_plane = sorted_all[0]
         sorted_digit = (sorted_plane >> jnp.uint32(lo_bit)) & wmask
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
@@ -200,7 +205,7 @@ def _fused_kernel(
             starts.append(st)
             counts.append(cn)
         _emit_runs(
-            [sorted_plane], starts, counts, outs, mask_out_ref, counts_ref,
+            sorted_all, starts, counts, outs, mask_out_ref, counts_ref,
             scratch, nb=nb, r=r, s=s,
         )
         return
@@ -241,6 +246,7 @@ def partition_pass_fused(
     width: int,
     n: Optional[int] = None,
     sorted_run: Optional[int] = None,
+    unstable: bool = False,
     batch: int = 4,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
@@ -262,7 +268,7 @@ def partition_pass_fused(
     n_planes, n_values = len(planes), len(values)
     n_data = n_planes + n_values
     idx_bits = K.bit_length() - 1
-    keys_only_fast = n_planes == 1 and n_values == 0
+    keys_only_fast = n_planes == 1 and (n_values == 0 or unstable)
     if not keys_only_fast and (r << idx_bits) > (1 << 32):
         raise ValueError("sortkey overflow: r * K must fit in 32 bits")
     has_mask = mask is not None
@@ -286,7 +292,7 @@ def partition_pass_fused(
                          memory_space=pltpu.VMEM)
         )
 
-    n_scratch = 1 if keys_only_fast else n_data
+    n_scratch = n_data
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel,

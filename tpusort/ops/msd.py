@@ -417,12 +417,19 @@ def sort_twiddled_msd(
     total_bits: int,
     use_pallas: Optional[bool] = None,
     plan_kwargs: Optional[dict] = None,
+    stable: bool = True,
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """MSD hybrid engine entry (engine-registry signature).
 
+    ``stable=False`` enables the unstable raw-key pairs fast path (the
+    reference's ``rdxsrt_unstable_sort_pairs`` semantics,
+    ``msb/src/sort/gpu_radix_sort.h:544``): keys+values ride a 2-operand
+    raw-key network instead of the 3-operand (digit,idx)-sortkey network.
     Falls back to the stable XLA sort when no feasible plan exists (small n,
     narrow bit ranges) or — via lax.cond — when run overflow reveals a skewed
-    distribution the static padding cannot absorb.
+    distribution the static padding cannot absorb (or, unstable-pairs only,
+    when some valid key equals 0xFFFFFFFF and would tie the garbage
+    sentinel).
     """
     n = planes[0].shape[0]
     kwargs = dict(plan_kwargs or {})
@@ -448,22 +455,28 @@ def sort_twiddled_msd(
             for v in values]
     planes_slice = slice(0, nplanes)
 
-    if use_pallas:
-        ops, valid, overflow = _run_passes_pallas(ops, nplanes, n, plan)
-    else:
-        ops, valid, overflow = _run_passes_xla(
-            ops, planes_slice, n, plan
-        )
-
-    keys_only_raw = (
+    raw_ok = (
         use_pallas
         and nplanes == 1
-        and not values
+        and (not values or not stable)
         and plan.rem_lo == 0
         and begin_bit == 0
         and end_bit == total_bits == 32
     )
-    if keys_only_raw:
+    if use_pallas:
+        ops, valid, overflow = _run_passes_pallas(
+            ops, nplanes, n, plan, unstable=(raw_ok and bool(values))
+        )
+    else:
+        ops, valid, overflow = _run_passes_xla(
+            ops, planes_slice, n, plan
+        )
+    if raw_ok and values:
+        # raw-key pairs: a valid key equal to the garbage sentinel would tie
+        # it and could swap payloads with a dropped pad slot -> fall back
+        overflow |= jnp.any(planes[0] == jnp.uint32(0xFFFFFFFF))
+
+    if raw_ok:
         # raw-key leaf: segment prefixes ascend in digit-major order and are
         # part of the key, so sorting packed tiles of whole segments by the
         # raw key (garbage -> 0xFFFFFFFF) both finishes each segment and
@@ -480,14 +493,14 @@ def sort_twiddled_msd(
         tile = pack * plan.seg
         mask_t = valid.reshape(nt, tile)
         last_s = plan.passes[-1].s
-        sorted_p = sort_tiles_masked(
-            ops[0].reshape(nt, tile), mask_t,
+        sorted_ops = sort_tiles_masked(
+            [o.reshape(nt, tile) for o in ops], mask_t,
             sorted_run=(last_s & -last_s),
         )
         tile_counts = mask_t.astype(jnp.int32).sum(axis=1)
         from tpusort.kernels.collapse import collapse_segments
 
-        ops = collapse_segments([sorted_p], tile_counts, n)
+        ops = collapse_segments(sorted_ops, tile_counts, n)
     else:
         ops, seg_counts = _leaf_sort(
             ops, planes_slice,
@@ -530,7 +543,8 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 
 
 def _run_passes_pallas(
-    ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan
+    ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
+    unstable: bool = False,
 ) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
     """All partition passes via the fused kernel; validity rides as a u8
     mask array between passes.  Returns (ops, final mask (m,), overflow)."""
@@ -557,6 +571,7 @@ def _run_passes_pallas(
             width=spec.width,
             n=(n if mask is None else None),
             sorted_run=sorted_run,
+            unstable=unstable,
         )
         prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
