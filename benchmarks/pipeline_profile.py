@@ -62,10 +62,9 @@ for i, spec in enumerate(plan.passes):
             tiled[:1], tiled[1:], m, r=spec.r, s=spec.s,
             lo_bit=spec.lo_bit, width=spec.width,
             n=(N if first else None),
-            sorted_run=(None if ps is None else (ps & -ps)))
-        o2 = [msd._exchange(d.reshape(-1), spec) for d in data]
-        m2 = msd._exchange(out_mask.reshape(-1), spec)
-        return o2, m2
+            sorted_run=(None if ps is None else (ps & -ps)),
+            t_seg=spec.t_seg)
+        return data, out_mask
     args = (state[0],) if i == 0 else (state[0], state[1])
     f = bench(f"fused pass {i} (m={state[0][0].shape[0]>>20}M)",
               lambda o, m=None, _f=pass_fn: _f(o, m),

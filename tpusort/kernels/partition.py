@@ -101,17 +101,19 @@ def _emit_runs(
     sorted_arrays: List[jax.Array],
     starts,            # list of per-(b) lists of scalar starts, or callable
     counts,            # per-(b, d) scalar counts
-    outs,
-    mask_out_ref,
+    outs,              # data outs + mask out (last)
     counts_ref,
     scratch,
     *,
     nb: int,
     r: int,
     s: int,
+    exchanged: bool = False,
 ):
     """Slice R runs per tile out of the sorted scratch into padded outputs,
-    and write the validity mask + counts row."""
+    and write the validity mask + counts row.  ``exchanged``: outputs are
+    (1, r, nb, srows, LANES) digit-major blocks (fused global exchange);
+    otherwise (nb, r*srows, LANES) tile-major."""
     rows = sorted_arrays[0].shape[1]
     srows = s // LANES
     for sc, a in zip(scratch, sorted_arrays):
@@ -123,13 +125,17 @@ def _emit_runs(
         for d in range(r):
             st = starts[b][d]
             c = counts[b][d]
-            for o, sc in zip(outs, scratch):
-                o[b, d * srows : (d + 1) * srows] = _dynamic_run_slice(
-                    sc.at[b], st, srows
-                )
-            mask_out_ref[b, d * srows : (d + 1) * srows] = (
-                lin < c
-            ).astype(jnp.uint8)
+            mval = (lin < c).astype(jnp.uint8)
+            for o, sc in zip(outs[:-1], scratch):
+                run = _dynamic_run_slice(sc.at[b], st, srows)
+                if exchanged:
+                    o[0, d, b] = run
+                else:
+                    o[b, d * srows : (d + 1) * srows] = run
+            if exchanged:
+                outs[-1][0, d, b] = mval
+            else:
+                outs[-1][b, d * srows : (d + 1) * srows] = mval
             counts_ref[b, 0, d] = c
 
 
@@ -148,17 +154,17 @@ def _fused_kernel(
     has_mask: bool,
     keys_only_fast: bool,
     sorted_run: Optional[int],
+    exchanged: bool,
 ):
     # refs layout:
     #   ins:  planes x n_planes, values x n_values, [mask]
     #   outs: ops x (n_planes + n_values), mask_out, counts
-    #   scratch: x n_ops_out
+    #   scratch: x n_data
     n_data = n_planes + n_values
     ins = refs[:n_data]
     mask_ref = refs[n_data] if has_mask else None
     base = n_data + (1 if has_mask else 0)
-    outs = refs[base : base + n_data]
-    mask_out_ref = refs[base + n_data]
+    outs = refs[base : base + n_data + 1]     # data outs + mask out
     counts_ref = refs[base + n_data + 1]
     scratch = refs[base + n_data + 2 :]
 
@@ -205,8 +211,8 @@ def _fused_kernel(
             starts.append(st)
             counts.append(cn)
         _emit_runs(
-            sorted_all, starts, counts, outs, mask_out_ref, counts_ref,
-            scratch, nb=nb, r=r, s=s,
+            sorted_all, starts, counts, outs, counts_ref,
+            scratch, nb=nb, r=r, s=s, exchanged=exchanged,
         )
         return
 
@@ -230,8 +236,8 @@ def _fused_kernel(
         starts.append(st[:r])
         counts.append([st[d + 1] - st[d] for d in range(r)])
     _emit_runs(
-        sorted_all[1:], starts, counts, outs, mask_out_ref, counts_ref,
-        scratch, nb=nb, r=r, s=s,
+        sorted_all[1:], starts, counts, outs, counts_ref,
+        scratch, nb=nb, r=r, s=s, exchanged=exchanged,
     )
 
 
@@ -247,15 +253,22 @@ def partition_pass_fused(
     n: Optional[int] = None,
     sorted_run: Optional[int] = None,
     unstable: bool = False,
+    t_seg: Optional[int] = None,
     batch: int = 4,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
     """One fused MSD partition pass over (T, K) tiles.
 
     planes/values: (T, K) uint32; mask: (T, K) uint8 validity or None for
-    pass 0 (then ``n`` gives the global valid prefix length).  Returns
-    (padded ops (T, R*S), mask (T, R*S) uint8, counts (T, R) int32).
-    Counts may exceed ``s`` — the caller must check for overflow.
+    pass 0 (then ``n`` gives the global valid prefix length).
+
+    When ``t_seg`` (tiles per digit segment) is given, the digit-major
+    global exchange is FUSED into the kernel's output block mapping: run d
+    of tile (seg, j) is written directly to out[seg, d, j] — the XLA
+    transpose between passes disappears.  Returns (exchanged ops and mask
+    flattened to (T*R*S,), counts (T, R) int32).  Without ``t_seg``,
+    returns tile-major (T, R*S) arrays.  Counts may exceed ``s`` — the
+    caller must check for overflow.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -274,7 +287,7 @@ def partition_pass_fused(
     has_mask = mask is not None
 
     nb = batch
-    while T % nb:
+    while T % nb or (t_seg is not None and t_seg % nb):
         nb //= 2
     nb = max(nb, 1)
 
@@ -292,7 +305,31 @@ def partition_pass_fused(
                          memory_space=pltpu.VMEM)
         )
 
-    n_scratch = n_data
+    if t_seg is None:
+        data_shape = [
+            jax.ShapeDtypeStruct((T, r * srows, LANES), dt)
+            for dt in [jnp.uint32] * n_data + [jnp.uint8]
+        ]
+        data_spec = pl.BlockSpec((nb, r * srows, LANES),
+                                 lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_block = None
+    else:
+        # exchanged layout: (n_seg, r, t_seg, srows, LANES); one grid step
+        # writes all r runs of nb consecutive tiles of one segment
+        n_seg = T // t_seg
+        tb = t_seg // nb
+        data_shape = [
+            jax.ShapeDtypeStruct((n_seg, r, t_seg, srows, LANES), dt)
+            for dt in [jnp.uint32] * n_data + [jnp.uint8]
+        ]
+        data_spec = pl.BlockSpec(
+            (1, r, nb, srows, LANES),
+            lambda t: (t // tb, 0, t % tb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_block = (r, nb)
+
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel,
@@ -309,37 +346,29 @@ def partition_pass_fused(
             has_mask=has_mask,
             keys_only_fast=keys_only_fast,
             sorted_run=(sorted_run if keys_only_fast else None),
+            exchanged=(t_seg is not None),
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint32)
-            for _ in range(n_data)
-        ]
-        + [
-            jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((T, 1, r), jnp.int32),
-        ],
+        out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
         grid=(T // nb,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((nb, r * srows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(n_data)
-        ]
+        out_specs=[data_spec] * (n_data + 1)
         + [
-            pl.BlockSpec((nb, r * srows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
             # counts are written elementwise as scalars -> SMEM
             pl.BlockSpec((nb, 1, r), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((nb, rows + srows + 1, LANES), jnp.uint32)
-            for _ in range(n_scratch)
+            for _ in range(n_data)
         ],
         interpret=interpret,
     )(*inputs)
-    data = [o.reshape(T, r * s) for o in out[:n_data]]
-    out_mask = out[n_data].reshape(T, r * s)
+    if t_seg is None:
+        data = [o.reshape(T, r * s) for o in out[:n_data]]
+        out_mask = out[n_data].reshape(T, r * s)
+    else:
+        data = [o.reshape(-1) for o in out[:n_data]]
+        out_mask = out[n_data].reshape(-1)
     counts = out[n_data + 1][:, 0, :]
     return data, out_mask, counts
 

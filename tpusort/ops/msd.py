@@ -572,11 +572,14 @@ def _run_passes_pallas(
             n=(n if mask is None else None),
             sorted_run=sorted_run,
             unstable=unstable,
+            t_seg=spec.t_seg,
         )
         prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
-        ops = [_exchange(d.reshape(-1), spec) for d in data]
-        mask = _exchange(out_mask.reshape(-1), spec)
+        # kernel wrote the digit-major exchanged layout directly (fused
+        # exchange); outputs are already flat (n_seg*r*t_seg*s,)
+        ops = data
+        mask = out_mask
     return ops, mask, overflow
 
 
