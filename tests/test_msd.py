@@ -274,3 +274,38 @@ def test_api_unstable_entry_points():
     assert got_pairs == want_pairs
     gk2 = tpusort.unstable_sort_keys(keys)
     np.testing.assert_array_equal(np.asarray(gk2), np.sort(np.asarray(keys)))
+
+
+def test_msd_raw_u64_planes_interpret():
+    """Two-plane raw fast path (lexicographic (hi, lo) comparator)."""
+    n = 21_000
+    hi = datagen.random_keys(jax.random.key(18), n, "uint32")
+    lo = datagen.random_keys(jax.random.key(19), n, "uint32")
+    sp, _ = msd.sort_twiddled_msd(
+        (hi, lo), (), begin_bit=0, end_bit=64, total_bits=64,
+        use_pallas=True, plan_kwargs=dict(SMALL),
+    )
+    got = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(sp[1]).astype(np.uint64)
+    want = np.sort((np.asarray(hi).astype(np.uint64) << np.uint64(32))
+                   | np.asarray(lo).astype(np.uint64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_msd_raw_u64_pairs_unstable_interpret():
+    n = 20_000
+    hi = datagen.entropy_keys(jax.random.key(24), n, 2, "uint32")
+    lo = datagen.entropy_keys(jax.random.key(25), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    sp, sv = msd.sort_twiddled_msd(
+        (hi, lo), (vals,), begin_bit=0, end_bit=64, total_bits=64,
+        use_pallas=True, plan_kwargs=dict(SMALL), stable=False,
+    )
+    gk = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(sp[1]).astype(np.uint64)
+    kk = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(lo).astype(np.uint64)
+    np.testing.assert_array_equal(gk, np.sort(kk))
+    got_pairs = sorted(zip(gk.tolist(), np.asarray(sv[0]).tolist()))
+    want_pairs = sorted(zip(kk.tolist(), np.asarray(vals).tolist()))
+    assert got_pairs == want_pairs

@@ -161,3 +161,36 @@ def test_cub_flavored_wrappers():
     wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals), descending=True)
     _assert_bitwise_equal(gk, wk)
     np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_sort_planes_u64():
+    """Plane-level 64-bit interface (no 64-bit arrays materialized)."""
+    import numpy as np
+    from tpusort.utils import datagen
+    n = 40_000
+    hi = datagen.random_keys(jax.random.key(50), n, "uint32")
+    lo = datagen.random_keys(jax.random.key(51), n, "uint32")
+    ohi, olo = tpusort.sort_planes((hi, lo), key_dtype="uint64")
+    got = (np.asarray(ohi).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(olo).astype(np.uint64)
+    want = np.sort((np.asarray(hi).astype(np.uint64) << np.uint64(32))
+                   | np.asarray(lo).astype(np.uint64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sort_planes_f64_descending_pairs():
+    import numpy as np
+    from tpusort.utils import datagen
+    n = 30_000
+    f = np.random.default_rng(0).standard_normal(n)
+    u = f.view(np.uint64)
+    hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    vals = datagen.enumerated_values(n)
+    (ohi, olo), ov = tpusort.sort_planes(
+        (hi, lo), vals, key_dtype="float64", descending=True)
+    got = (((np.asarray(ohi).astype(np.uint64) << np.uint64(32))
+            | np.asarray(olo).astype(np.uint64))).view(np.float64)
+    order = np.argsort(-f, kind="stable")
+    np.testing.assert_array_equal(got, f[order])
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(vals)[order])

@@ -38,6 +38,7 @@ __all__ = [
     "sort_keys_descending",
     "sort_pairs",
     "sort_pairs_descending",
+    "sort_planes",
     "unstable_sort_keys",
     "unstable_sort_pairs",
     "register_engine",
@@ -251,6 +252,74 @@ def sort_pairs_descending(keys, values, **kw):
 
 def unstable_sort_keys(keys, **kw):
     return sort(keys, stable=False, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("key_dtype", "descending", "begin_bit", "end_bit",
+                     "algorithm", "stable"),
+)
+def _sort_planes_impl(planes, values_tuple, *, key_dtype, descending,
+                      begin_bit, end_bit, algorithm, stable):
+    traits = _dtypes.traits_for(key_dtype)
+    if len(planes) != traits.planes:
+        raise ValueError(
+            f"{key_dtype} expects {traits.planes} uint32 plane(s), "
+            f"got {len(planes)}"
+        )
+    tw = _dtypes.twiddle_planes_in(
+        tuple(jnp.asarray(p).view(jnp.uint32) for p in planes),
+        traits, descending=descending,
+    )
+    total_bits = traits.bits
+    eb = total_bits if end_bit is None else end_bit
+    if not (0 <= begin_bit < eb <= total_bits):
+        raise ValueError(f"invalid bit range [{begin_bit}, {eb})")
+    cfg = _configs.get_config(total_bits, bool(values_tuple))
+    if not stable and algorithm in ("auto", "msd", "lsd") and \
+            "msd_unstable" in _ENGINES:
+        algorithm = "msd_unstable"
+    engine = _resolve_engine(algorithm, cfg)
+    sp, sv = engine(
+        tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
+        total_bits=total_bits,
+    )
+    out = _dtypes.twiddle_planes_out(sp, traits, descending=descending)
+    return tuple(out), sv
+
+
+def sort_planes(
+    planes,
+    values=None,
+    *,
+    key_dtype: str = "uint64",
+    descending: bool = False,
+    begin_bit: int = 0,
+    end_bit: Optional[int] = None,
+    algorithm: str = "auto",
+    stable: bool = True,
+):
+    """Sort keys supplied as raw uint32 bit-pattern planes — the TPU-native
+    64-bit interface.
+
+    TPU vector units are 32-bit and this backend cannot materialize 64-bit
+    arrays at all, so 64-bit keys live as ``(hi, lo)`` uint32 planes end to
+    end (plane 0 = most-significant word).  ``key_dtype`` names the logical
+    key type (uint64/int64/float64 — or the 32-bit types with one plane) and
+    selects the order-preserving twiddle.  Returns the sorted planes (and
+    values, if given).  The 64-bit analog of the reference's templated
+    ``rdxsrt_unstable_sort<KeyT>`` 64-bit instantiations
+    (``msb/src/sort/gpu_radix_sort.h:190-205``).
+    """
+    vt, had, single = _normalize_values(values)
+    out_planes, out_vals = _sort_planes_impl(
+        tuple(planes), vt, key_dtype=key_dtype, descending=descending,
+        begin_bit=begin_bit, end_bit=end_bit, algorithm=algorithm,
+        stable=stable,
+    )
+    if not had:
+        return out_planes
+    return out_planes, (out_vals[0] if single else out_vals)
 
 
 def unstable_sort_pairs(keys, values, **kw):

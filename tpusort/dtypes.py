@@ -37,6 +37,8 @@ __all__ = [
     "traits_for",
     "twiddle_in",
     "twiddle_out",
+    "twiddle_planes_in",
+    "twiddle_planes_out",
     "split64",
     "join64",
     "key_bits",
@@ -144,6 +146,55 @@ def join64(hi: jax.Array, lo: jax.Array, dtype=jnp.uint64) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def twiddle_planes_in(
+    planes: Tuple[jax.Array, ...], traits: KeyTraits, *,
+    descending: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Twiddle raw uint32 bit-pattern plane(s) of a key (plane 0 = most
+    significant word) into sortable-unsigned planes.  This is the TPU-native
+    64-bit entry: 64-bit keys never exist as 64-bit arrays, only as
+    (hi, lo) uint32 planes."""
+    if traits.planes == 1:
+        (u,) = planes
+        t = _twiddle32_in(u, traits)
+        return (~t,) if descending else (t,)
+    hi, lo = planes
+    if traits.is_float:
+        sign = hi >> jnp.uint32(31)
+        hi_mask = jnp.where(sign == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+        lo_mask = jnp.where(sign == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        hi, lo = hi ^ hi_mask, lo ^ lo_mask
+    elif traits.is_signed:
+        hi = hi ^ jnp.uint32(0x80000000)
+    if descending:
+        hi, lo = ~hi, ~lo
+    return (hi, lo)
+
+
+def twiddle_planes_out(
+    planes: Tuple[jax.Array, ...], traits: KeyTraits, *,
+    descending: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Inverse of :func:`twiddle_planes_in` (returns raw bit-pattern
+    planes)."""
+    if traits.planes == 1:
+        (t,) = planes
+        if descending:
+            t = ~t
+        return (_twiddle32_out(t, traits),)
+    hi, lo = planes
+    if descending:
+        hi, lo = ~hi, ~lo
+    if traits.is_float:
+        sign = hi >> jnp.uint32(31)
+        hi_mask = jnp.where(sign == 1, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF))
+        lo_mask = jnp.where(sign == 1, jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+        hi, lo = hi ^ hi_mask, lo ^ lo_mask
+    elif traits.is_signed:
+        hi = hi ^ jnp.uint32(0x80000000)
+    return (hi, lo)
+
+
 def twiddle_in(
     keys: jax.Array, *, descending: bool = False
 ) -> Tuple[Tuple[jax.Array, ...], KeyTraits]:
@@ -156,22 +207,9 @@ def twiddle_in(
     traits = traits_for(keys.dtype)
     if traits.planes == 1:
         u = keys.view(jnp.uint32) if keys.dtype != jnp.uint32 else keys
-        t = _twiddle32_in(u, traits)
-        if descending:
-            t = ~t
-        return (t,), traits
-
-    hi, lo = split64(keys)
-    if traits.is_float:
-        sign = hi >> jnp.uint32(31)
-        hi_mask = jnp.where(sign == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
-        lo_mask = jnp.where(sign == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-        hi, lo = hi ^ hi_mask, lo ^ lo_mask
-    elif traits.is_signed:
-        hi = hi ^ jnp.uint32(0x80000000)
-    if descending:
-        hi, lo = ~hi, ~lo
-    return (hi, lo), traits
+        return twiddle_planes_in((u,), traits, descending=descending), traits
+    raw = split64(keys)
+    return twiddle_planes_in(raw, traits, descending=descending), traits
 
 
 def twiddle_out(
@@ -184,21 +222,8 @@ def twiddle_out(
     """Inverse of :func:`twiddle_in`; reassembles keys of ``dtype``."""
     if dtype is None:
         dtype = traits.name
+    raw = twiddle_planes_out(planes, traits, descending=descending)
     if traits.planes == 1:
-        (t,) = planes
-        if descending:
-            t = ~t
-        u = _twiddle32_out(t, traits)
+        (u,) = raw
         return u.view(dtype) if jnp.dtype(dtype) != jnp.uint32 else u
-
-    hi, lo = planes
-    if descending:
-        hi, lo = ~hi, ~lo
-    if traits.is_float:
-        sign = hi >> jnp.uint32(31)
-        hi_mask = jnp.where(sign == 1, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF))
-        lo_mask = jnp.where(sign == 1, jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
-        hi, lo = hi ^ hi_mask, lo ^ lo_mask
-    elif traits.is_signed:
-        hi = hi ^ jnp.uint32(0x80000000)
-    return join64(hi, lo, dtype=dtype)
+    return join64(raw[0], raw[1], dtype=dtype)

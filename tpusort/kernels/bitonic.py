@@ -61,25 +61,32 @@ def _partner(x, j: int):
     return jnp.where(_bit(x.shape, j) == 1, bwd, fwd)
 
 
-def _compare_exchange(arrays, j: int, k: int):
-    """One bitonic stage: partner distance 2^j inside 2^(k+1)-wide runs."""
+def _compare_exchange(arrays, j: int, k: int, num_keys: int = 1):
+    """One bitonic stage: partner distance 2^j inside 2^(k+1)-wide runs.
+
+    ``num_keys``: leading operands compared lexicographically (e.g. 2 for
+    64-bit keys as (hi, lo) planes).  On full-tie both sides keep their own
+    element, so payload selects stay complementary (no dup/loss).
+    """
     key = arrays[0]
-    pkey = _partner(key, j)
+    partners = [_partner(a, j) for a in arrays]
     # is_low == asc  <=>  bit j of i == bit (k+1) of i.  Avoid bool-on-bool
-    # ops (Mosaic cannot lower them); select u32 operands instead, which also
-    # gives the no-swap-on-equal comparator: on ties BOTH sides keep their
-    # own element, so payload selects stay complementary (no dup/loss).
+    # ops (Mosaic cannot lower them); select u32/i32 operands instead.
     fwd_dir = _bit(key.shape, j) == _bit(key.shape, k + 1)
-    a = jnp.where(fwd_dir, key, pkey)
-    b = jnp.where(fwd_dir, pkey, key)
-    take_mine = a <= b
-    out = [jnp.where(take_mine, key, pkey)]
-    for a in arrays[1:]:
-        out.append(jnp.where(take_mine, a, _partner(a, j)))
-    return out
+    take_i32 = None
+    for i in reversed(range(num_keys)):     # least-significant key first
+        a = jnp.where(fwd_dir, arrays[i], partners[i])
+        b = jnp.where(fwd_dir, partners[i], arrays[i])
+        if take_i32 is None:
+            take_i32 = jnp.where(a <= b, jnp.int32(1), jnp.int32(0))
+        else:
+            lt = jnp.where(a < b, jnp.int32(1), jnp.int32(0))
+            take_i32 = jnp.where(a == b, take_i32, lt)
+    take_mine = take_i32 == 1
+    return [jnp.where(take_mine, a, pa) for a, pa in zip(arrays, partners)]
 
 
-def _sort_network(arrays):
+def _sort_network(arrays, num_keys: int = 1):
     """Full bitonic sort network over each trailing (ROWS, LANES) tile.
 
     Leading dims are independent tiles sorted in lockstep — batching >1 tile
@@ -90,7 +97,7 @@ def _sort_network(arrays):
     n_bits = (rows * lanes).bit_length() - 1
     for k in range(n_bits):          # run width 2^(k+1)
         for j in range(k, -1, -1):   # exchange distance 2^j
-            arrays = _compare_exchange(arrays, j, k)
+            arrays = _compare_exchange(arrays, j, k, num_keys)
     return arrays
 
 
@@ -114,7 +121,7 @@ def _reverse_within(x: jax.Array, run: int) -> jax.Array:
     return x
 
 
-def _merge_sorted_runs(arrays, run_in: int):
+def _merge_sorted_runs(arrays, run_in: int, num_keys: int = 1):
     """Sort each trailing (ROWS, LANES) tile given contiguous ``run_in``-
     element subruns already sorted ascending, by entering the standard
     bitonic sort network at phase log2(run_in).
@@ -136,7 +143,7 @@ def _merge_sorted_runs(arrays, run_in: int):
         ]
     for k in range(k0, n_bits):
         for j in range(k, -1, -1):
-            arrays = _compare_exchange(arrays, j, k)
+            arrays = _compare_exchange(arrays, j, k, num_keys)
     return arrays
 
 
@@ -165,7 +172,7 @@ def _sort_kernel(*refs, n_ops: int, pad_rows: int):
 
 
 def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
-                        sorted_run: int = 0):
+                        sorted_run: int = 0, num_keys: int = 1):
     """Raw-key leaf sort: garbage slots (mask == 0) are rewritten to
     0xFFFFFFFF and the raw keys sorted, any payload operands riding along.
     Multiset-exact for keys-only; for pairs the caller pre-checks that no
@@ -176,21 +183,24 @@ def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
     mask_ref = refs[n_ops]
     outs = refs[n_ops + 1:]
     arrays = [r[...] for r in ins]
-    arrays[0] = jnp.where(mask_ref[...] != 0, arrays[0],
-                          jnp.uint32(0xFFFFFFFF))
+    valid = mask_ref[...] != 0
+    for i in range(num_keys):
+        arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
     rows = arrays[0].shape[1]
     if pad_rows:
         nb = arrays[0].shape[0]
-        pad0 = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-        padded = [jnp.concatenate([arrays[0], pad0], axis=1)]
-        for a in arrays[1:]:
-            padded.append(jnp.concatenate(
-                [a, jnp.zeros((nb, pad_rows, LANES), a.dtype)], 1))
+        padded = []
+        for i, a in enumerate(arrays):
+            if i < num_keys:
+                pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
+            else:
+                pad = jnp.zeros((nb, pad_rows, LANES), a.dtype)
+            padded.append(jnp.concatenate([a, pad], axis=1))
         arrays = padded
     if sorted_run:
-        arrays = _merge_sorted_runs(arrays, sorted_run)
+        arrays = _merge_sorted_runs(arrays, sorted_run, num_keys)
     else:
-        arrays = _sort_network(arrays)
+        arrays = _sort_network(arrays, num_keys)
     for o, a in zip(outs, arrays):
         o[...] = a[:, :rows]
 
@@ -200,6 +210,7 @@ def sort_tiles_masked(
     mask: jax.Array,
     *,
     sorted_run: int = 0,
+    num_keys: int = 1,
     batch: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
@@ -229,7 +240,8 @@ def sort_tiles_masked(
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_masked_sort_kernel, n_ops=n_ops,
-                          pad_rows=pad_rows, sorted_run=sorted_run),
+                          pad_rows=pad_rows, sorted_run=sorted_run,
+                          num_keys=num_keys),
         out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), o.dtype)
                    for o in ops],
         grid=(T // nb,),

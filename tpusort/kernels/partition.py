@@ -182,17 +182,22 @@ def _fused_kernel(
         # overflow fallback fires), so ties never mix payloads.  Unstable
         # for pairs — the analog of the reference's rdxsrt_unstable_sort
         # (msb/src/sort/gpu_radix_sort.h:197).
-        plane = jnp.where(valid, planes[0], jnp.uint32(0xFFFFFFFF))
+        kplanes = [
+            jnp.where(valid, p_, jnp.uint32(0xFFFFFFFF)) for p_ in planes
+        ]
         if sorted_run:
             # input windows are monotone slices of previously sorted tiles;
             # garbage tails rewritten to 0xFFFFFFFF keep each pow2-aligned
             # subrun sorted, so a merge network suffices (60-69 stages vs
             # 105 for the full sort)
-            sorted_all = _merge_sorted_runs([plane] + values, sorted_run)
+            sorted_all = _merge_sorted_runs(
+                kplanes + values, sorted_run, num_keys=n_planes
+            )
         else:
-            sorted_all = _sort_network([plane] + values)
-        sorted_plane = sorted_all[0]
-        sorted_digit = (sorted_plane >> jnp.uint32(lo_bit)) & wmask
+            sorted_all = _sort_network(kplanes + values, num_keys=n_planes)
+        sorted_digit = _extract_bits_arrays(
+            sorted_all[:n_planes], lo_bit, width
+        )
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
         ]
@@ -281,7 +286,7 @@ def partition_pass_fused(
     n_planes, n_values = len(planes), len(values)
     n_data = n_planes + n_values
     idx_bits = K.bit_length() - 1
-    keys_only_fast = n_planes == 1 and (n_values == 0 or unstable)
+    keys_only_fast = n_planes <= 2 and (n_values == 0 or unstable)
     if not keys_only_fast and (r << idx_bits) > (1 << 32):
         raise ValueError("sortkey overflow: r * K must fit in 32 bits")
     has_mask = mask is not None

@@ -457,11 +457,12 @@ def sort_twiddled_msd(
 
     raw_ok = (
         use_pallas
-        and nplanes == 1
+        and nplanes <= 2
         and (not values or not stable)
         and plan.rem_lo == 0
         and begin_bit == 0
-        and end_bit == total_bits == 32
+        and end_bit == total_bits
+        and total_bits == 32 * nplanes
     )
     if use_pallas:
         ops, valid, overflow = _run_passes_pallas(
@@ -474,7 +475,10 @@ def sort_twiddled_msd(
     if raw_ok and values:
         # raw-key pairs: a valid key equal to the garbage sentinel would tie
         # it and could swap payloads with a dropped pad slot -> fall back
-        overflow |= jnp.any(planes[0] == jnp.uint32(0xFFFFFFFF))
+        is_max = planes[0] == jnp.uint32(0xFFFFFFFF)
+        for p_ in planes[1:]:
+            is_max = is_max & (p_ == jnp.uint32(0xFFFFFFFF))
+        overflow |= jnp.any(is_max)
 
     if raw_ok:
         # raw-key leaf: segment prefixes ascend in digit-major order and are
@@ -495,7 +499,7 @@ def sort_twiddled_msd(
         last_s = plan.passes[-1].s
         sorted_ops = sort_tiles_masked(
             [o.reshape(nt, tile) for o in ops], mask_t,
-            sorted_run=(last_s & -last_s),
+            sorted_run=(last_s & -last_s), num_keys=nplanes,
         )
         tile_counts = mask_t.astype(jnp.int32).sum(axis=1)
         from tpusort.kernels.collapse import collapse_segments
