@@ -108,14 +108,23 @@ def _global_sort_shard(
     splitters, below = _select_splitters(tw, n_shard, d, axis)
     dest = _destinations(tw, splitters, below, n_shard, d, axis)
 
-    # local bucket partition: stable sort by (dest | idx), then pad runs
+    # local bucket partition: stable sort by (dest | idx), then pad runs.
+    # The sortkey is unique by construction (idx field), so the engine's
+    # unstable raw-key pairs path applies and its 0xFFFFFFFF sentinel
+    # pre-check can never fire (dest < D, idx < n_shard).
     counts = (dest[:, None] == jnp.arange(d)[None, :]).sum(0, dtype=jnp.int32)
     starts = jnp.cumsum(counts) - counts
     idx_bits = max(n_shard.bit_length(), 1)
     sortkey = (dest.astype(jnp.uint32) << jnp.uint32(idx_bits)) | jnp.arange(
         n_shard, dtype=jnp.uint32
     )
-    sorted_ops = jax.lax.sort([sortkey] + list(ops), num_keys=1)[1:]
+    from tpusort.ops.msd import sort_twiddled_msd
+
+    _, sorted_ops = sort_twiddled_msd(
+        (sortkey,), tuple(ops), begin_bit=0, end_bit=32, total_bits=32,
+        stable=False,
+    )
+    sorted_ops = list(sorted_ops)
     gidx = jnp.minimum(
         starts[:, None] + jnp.arange(capacity)[None, :], n_shard - 1
     ).reshape(-1)
@@ -131,16 +140,27 @@ def _global_sort_shard(
     recv_counts = cmat[:, r]                                  # (D,)
     overflow = jax.lax.pmax(jnp.max(cmat), axis) > capacity
 
-    # positional validity, then local multi-key sort with invalid-last flag
+    # positional validity, then the local finishing sort
     pos = jnp.arange(capacity, dtype=jnp.int32)[None, :]
     valid = (pos < recv_counts[:, None]).reshape(-1)
     flat = [x.reshape(-1) for x in recv]
-    # invalid flag FIRST: garbage slots (arbitrary copied values) must sort
-    # after every valid element, then valids order by their key planes
-    invalid_key = (~valid).astype(jnp.uint32)
-    keys = [invalid_key] + list(flat[:nplanes])
-    result = jax.lax.sort(keys + flat, num_keys=nplanes + 1)[nplanes + 1 :]
-    owned = [x[:n_shard] for x in result]
+    if nplanes == 1 and len(flat) == 1:
+        # keys-only: garbage -> 0xFFFFFFFF is multiset-exact (each shard
+        # receives exactly n_shard valid keys, so the first n_shard slots of
+        # the engine-sorted buffer are the owned range)
+        rewritten = jnp.where(valid, flat[0], jnp.uint32(0xFFFFFFFF))
+        sp, _ = sort_twiddled_msd(
+            (rewritten,), (), begin_bit=0, end_bit=32, total_bits=32,
+        )
+        owned = [sp[0][:n_shard]]
+    else:
+        # pairs / multi-plane: invalid flag FIRST so garbage slots
+        # (arbitrary copied values) sort after every valid element, then
+        # valids order by their key planes
+        invalid_key = (~valid).astype(jnp.uint32)
+        keys = [invalid_key] + list(flat[:nplanes])
+        result = jax.lax.sort(keys + flat, num_keys=nplanes + 1)[nplanes + 1:]
+        owned = [x[:n_shard] for x in result]
 
     def fallback(_):
         # allgather everything, sort locally, take the owned range
