@@ -147,6 +147,55 @@ def _merge_sorted_runs(arrays, run_in: int, num_keys: int = 1):
     return arrays
 
 
+def _merge_sorted_runs_3pow2(arrays, run_in: int, num_keys: int = 1):
+    """Sort tiles of K = 3*2^a elements (sorted ``run_in`` subruns) without
+    paying the full 4/3 pow2-padding: run the network's phases only up to
+    2^a on the 3/4-size tile (blocks end alternately asc/desc/asc by bit a),
+    bitonic-merge the first two thirds, then one final 2K-phase over
+    [sorted 2/3 | 0xFFFFFFFF pad | reversed last third] — ~60.3 stage-slot
+    equivalents for 12288 vs 80 when padding to 16384 up front.
+    """
+    shape = arrays[0].shape
+    rows, lanes = shape[-2], shape[-1]
+    k_total = rows * lanes
+    third = k_total // 3
+    a = third.bit_length() - 1
+    trows = third // lanes
+    nb = shape[0]
+    k0 = run_in.bit_length() - 1
+
+    if run_in > 1:
+        odd = _bit(shape, k0) == 1
+        arrays = [
+            jnp.where(odd, _reverse_within(x, run_in), x) for x in arrays
+        ]
+    # phases k0..a-1 on the 3/4-size tile: blocks of 2^a end asc/desc/asc
+    # (direction bit a of the index alternates across the three thirds)
+    for k in range(k0, a):
+        for j in range(k, -1, -1):
+            arrays = _compare_exchange(arrays, j, k, num_keys)
+    # phase a: first two thirds form asc++desc = bitonic; merge them
+    front = [x[:, : 2 * trows] for x in arrays]
+    back = [x[:, 2 * trows :] for x in arrays]
+    for j in range(a, -1, -1):
+        front = _compare_exchange(front, j, a, num_keys)
+    # final phase a+1 over 2K virtual slots: descending second half is
+    # [0xFFFFFFFF pad | reversed last third]
+    pad = []
+    for i in range(len(arrays)):
+        if i < num_keys:
+            pad.append(jnp.full((nb, trows, LANES), 0xFFFFFFFF, jnp.uint32))
+        else:
+            pad.append(jnp.zeros((nb, trows, LANES), arrays[i].dtype))
+    full = [
+        jnp.concatenate([f, p, _reverse_within(b, third)], axis=1)
+        for f, p, b in zip(front, pad, back)
+    ]
+    for j in range(a + 1, -1, -1):
+        full = _compare_exchange(full, j, a + 1, num_keys)
+    return [x[:, : 3 * trows] for x in full]
+
+
 def _sort_kernel(*refs, n_ops: int, pad_rows: int):
     ins, outs = refs[:n_ops], refs[n_ops:]
     arrays = [r[...] for r in ins]  # (NB, ROWS, LANES)
@@ -187,6 +236,22 @@ def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
     for i in range(num_keys):
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
     rows = arrays[0].shape[1]
+    k_real = rows * LANES
+    third = k_real // 3
+    if (
+        pad_rows
+        and sorted_run
+        and 3 * third == k_real
+        and third >= LANES
+        and (third & (third - 1)) == 0
+        and third % sorted_run == 0
+    ):
+        # K = 3*2^a: staged merge avoids materializing + computing the
+        # 4/3 pow2 padding for most of the network
+        arrays = _merge_sorted_runs_3pow2(arrays, sorted_run, num_keys)
+        for o, a in zip(outs, arrays):
+            o[...] = a
+        return
     if pad_rows:
         nb = arrays[0].shape[0]
         padded = []
