@@ -68,9 +68,12 @@ def get_config(
 # keep the 8-virtual-device test mesh fast.
 register_config(32, False, "tpu", SortConfig(radix_bits=8, tile_elems=4096,
                                               default_algorithm="msd"))
-register_config(32, True, "tpu", SortConfig(radix_bits=8, tile_elems=4096))
-register_config(64, False, "tpu", SortConfig(radix_bits=8, tile_elems=2048))
-register_config(64, True, "tpu", SortConfig(radix_bits=8, tile_elems=2048))
+register_config(32, True, "tpu", SortConfig(radix_bits=8, tile_elems=4096,
+                                             default_algorithm="msd"))
+register_config(64, False, "tpu", SortConfig(radix_bits=8, tile_elems=2048,
+                                              default_algorithm="msd"))
+register_config(64, True, "tpu", SortConfig(radix_bits=8, tile_elems=2048,
+                                             default_algorithm="msd"))
 register_config(32, False, "cpu", SortConfig(radix_bits=8, tile_elems=1024))
 register_config(32, True, "cpu", SortConfig(radix_bits=8, tile_elems=1024))
 register_config(64, False, "cpu", SortConfig(radix_bits=8, tile_elems=1024))

@@ -448,6 +448,27 @@ def sort_twiddled_msd(
         use_pallas = jax.default_backend() == "tpu"
 
     nplanes = len(planes)
+    if (
+        stable
+        and values
+        and use_pallas
+        and nplanes == 1
+        and begin_bit == 0
+        and end_bit == total_bits == 32
+    ):
+        # stable pairs via the composite 64-bit key (key, position): the
+        # position plane is unique, so the unstable 2-plane raw path is
+        # stable-by-key — and its 0xFFFFFFFF sentinel pre-check can never
+        # fire on the position plane.  +16% over the (digit,idx)-sortkey
+        # path and shares all raw-path machinery (merge networks, network
+        # leaf).
+        gidx = jnp.arange(n, dtype=jnp.uint32)
+        sp, sv = sort_twiddled_msd(
+            (planes[0], gidx), values, begin_bit=0, end_bit=64,
+            total_bits=64, use_pallas=use_pallas, plan_kwargs=plan_kwargs,
+            stable=False,
+        )
+        return (sp[0],), sv
     # 32-bit word split for payloads is handled at the API layer; here all
     # operands are uint32.
     ops = [jnp.pad(p, (0, plan.m1 - n)) for p in planes]
