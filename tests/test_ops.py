@@ -118,3 +118,13 @@ def test_bitonic_engine_pairs_permutation():
     np.testing.assert_array_equal(gk, np_sort_oracle(np.asarray(keys)))
     assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
     np.testing.assert_array_equal(np.asarray(keys)[gv], gk)
+
+
+def test_log_module():
+    """M-12 analog: leveled logger + timer context."""
+    import logging
+    from tpusort.utils import log as tlog
+    tlog.set_level("TRACE")
+    with tlog.timed("unit-test block", level=logging.INFO):
+        pass
+    tlog.set_level("WARNING")

@@ -95,6 +95,32 @@ def segmented_sort(
         jnp.searchsorted(segment_offsets.astype(jnp.int32), pos, side="right")
         - 1
     ).astype(jnp.uint32)
+
+    nseg = int(segment_offsets.shape[0]) - 1
+    if (
+        jax.default_backend() == "tpu"
+        and traits.planes == 1
+        and not vt
+        and nseg >= 1
+    ):
+        # keys-only ragged: composite (seg_id << shift, key) through the
+        # 2-plane raw engine.  Shifting seg_id to the top bits spreads the
+        # MSD digits across segments (a raw seg_id would put everything in
+        # digit 0 and trip the overflow fallback); keys-only stability is
+        # vacuous so the unstable path is exact.
+        shift = 32 - max((nseg - 1).bit_length(), 1)
+        from tpusort.ops.msd import sort_twiddled_msd
+
+        sp, _ = sort_twiddled_msd(
+            (seg_id << jnp.uint32(shift), planes[0]), (),
+            begin_bit=0, end_bit=64, total_bits=64,
+        )
+        sorted_planes = (sp[1],)
+        out_keys = _dtypes.twiddle_out(
+            sorted_planes, traits, descending=descending, dtype=keys.dtype
+        )
+        return out_keys
+
     operands = [seg_id] + list(planes) + [jnp.asarray(v) for v in vt]
     res = jax.lax.sort(operands, num_keys=1 + len(planes), is_stable=True)
     sorted_planes = tuple(res[1 : 1 + len(planes)])
