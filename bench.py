@@ -60,21 +60,50 @@ def main():
     args = ap.parse_args()
 
     n = 1 << args.log2n
-    keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
-    overhead = _time(jax.jit(lambda a: a), keys[:8], iters=args.iters)
+    overhead = _time(jax.jit(lambda a: a),
+                     jnp.zeros((8,), jnp.uint32), iters=args.iters)
+
+    # At 2^30 the held input buffer (4.3 GB) plus the pipeline's in+out
+    # pass buffers (2 x 1.5n x 4B) exceed HBM; generating keys inside the
+    # jitted step lets XLA free them after pass 0 consumes them.  Threefry
+    # itself holds ~5 temporaries of n x 4B, so huge sizes use a splitmix32
+    # finalizer over iota (2 temps, full avalanche) instead.
+    gen_inside = args.log2n >= 30
+
+    def _hash_keys(seed):
+        z = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+        z = (z ^ (z >> jnp.uint32(16))) * jnp.uint32(0x45D9F3B)
+        z = (z ^ (z >> jnp.uint32(16))) * jnp.uint32(0x45D9F3B)
+        return z ^ (z >> jnp.uint32(16))
 
     if args.pairs:
-        vals = jnp.arange(n, dtype=jnp.uint32)
-        fn = jax.jit(
-            lambda k, v: tpusort.sort(
-                k, v, algorithm=args.algorithm, stable=not args.unstable
+        if gen_inside:
+            def fn(seed):
+                k = _hash_keys(seed)
+                v = jnp.arange(n, dtype=jnp.uint32)
+                return tpusort.sort(k, v, algorithm=args.algorithm,
+                                    stable=not args.unstable)
+            dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
+        else:
+            keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
+            vals = jnp.arange(n, dtype=jnp.uint32)
+            fn = jax.jit(
+                lambda k, v: tpusort.sort(
+                    k, v, algorithm=args.algorithm, stable=not args.unstable
+                )
             )
-        )
-        dt = _time(fn, keys, vals, iters=args.iters) - overhead
+            dt = _time(fn, keys, vals, iters=args.iters) - overhead
         metric = "pairs_per_sec_per_chip"
     else:
-        fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))
-        dt = _time(fn, keys, iters=args.iters) - overhead
+        if gen_inside:
+            def fn(seed):
+                return tpusort.sort(_hash_keys(seed),
+                                    algorithm=args.algorithm)
+            dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
+        else:
+            keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
+            fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))
+            dt = _time(fn, keys, iters=args.iters) - overhead
         metric = "keys_per_sec_per_chip"
 
     dt = max(dt, 1e-9)

@@ -14,7 +14,7 @@ import numpy as np
 
 from tpusort.ops import msd
 from tpusort.kernels.partition import partition_pass_fused
-from tpusort.kernels.bitonic import sort_tiles_masked
+from tpusort.kernels.bitonic import sort_tiles_counts
 from tpusort.kernels.collapse import collapse_segments
 
 N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 28)
@@ -50,27 +50,35 @@ keys = jax.random.bits(jax.random.key(0), (N,), dtype=jnp.uint32)
 bench("noop", lambda a: a, keys[:8])
 
 ops = [jnp.pad(keys, (0, plan.m1 - N))]
-mask = None
-state = (ops, mask)
+ctable = None
+state = (ops, ctable)
 prev_s = [None]
+q_hold = [None]
 for i, spec in enumerate(plan.passes):
-    def pass_fn(ops_, mask_, spec=spec, first=(i == 0), ps=prev_s[0]):
+    def pass_fn(ops_, ct_, spec=spec, first=(i == 0), ps=prev_s[0],
+                q=q_hold[0]):
         t = spec.n_seg * spec.t_seg
         tiled = [o.reshape(t, spec.k) for o in ops_]
-        m = None if first else mask_.reshape(t, spec.k)
-        data, out_mask, counts = partition_pass_fused(
-            tiled[:1], tiled[1:], m, r=spec.r, s=spec.s,
+        cin = None if first else ct_.reshape(t, spec.k // q)
+        data, counts = partition_pass_fused(
+            tiled[:1], tiled[1:], cin, q_in=q, r=spec.r, s=spec.s,
             lo_bit=spec.lo_bit, width=spec.width,
             n=(N if first else None),
             sorted_run=(None if ps is None else (ps & -ps)),
             t_seg=spec.t_seg)
-        return data, out_mask
-    args = (state[0],) if i == 0 else (state[0], state[1])
+        qn = spec.s & -spec.s
+        chunks = spec.s // qn
+        c = jnp.minimum(counts, spec.s).reshape(
+            spec.n_seg, spec.t_seg, spec.r).transpose(0, 2, 1)
+        c = jnp.clip(c[..., None] - jnp.arange(chunks, dtype=jnp.int32) * qn,
+                     0, qn)
+        return data, c.reshape(-1)
     f = bench(f"fused pass {i} (m={state[0][0].shape[0]>>20}M)",
               lambda o, m=None, _f=pass_fn: _f(o, m),
               *( (state[0], state[1]) if i else (state[0], None) ))
     state = f(*((state[0], state[1]) if i else (state[0], None)))
     prev_s[0] = spec.s
+    q_hold[0] = spec.s & -spec.s
 
 pack = 1
 while pack * 2 * plan.seg <= (1 << 14) and plan.n_segments % (pack * 2) == 0:
@@ -80,12 +88,13 @@ tile = pack * plan.seg
 print(f"leaf tile = {tile} (pack {pack}, nt {nt})")
 
 
-def leaf_fn(ops_, mask_):
-    m = mask_.reshape(nt, tile)
+def leaf_fn(ops_, ct_):
     last_s = plan.passes[-1].s
-    s = sort_tiles_masked(ops_[0].reshape(nt, tile), m,
+    q = last_s & -last_s
+    ct = ct_.reshape(nt, tile // q)
+    s = sort_tiles_counts(ops_[0].reshape(nt, tile), ct, q,
                           sorted_run=(last_s & -last_s))
-    return s, m.astype(jnp.int32).sum(axis=1)
+    return s, ct.sum(axis=1, dtype=jnp.int32)
 
 
 f = bench(f"leaf raw-key (m={state[0][0].shape[0]>>20}M)",

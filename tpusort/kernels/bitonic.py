@@ -270,6 +270,113 @@ def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
         o[...] = a[:, :rows]
 
 
+def _counts_sort_kernel(*refs, n_ops: int, n_sub: int, q: int,
+                        pad_rows: int, sorted_run: int, num_keys: int):
+    """Raw-key leaf sort with validity from a per-tile SMEM counts table
+    (subrun i of q elements holds counts[b, 0, i] valid as a prefix):
+    garbage slots are rewritten to 0xFFFFFFFF on the key operands."""
+    ins = refs[:n_ops]
+    cref = refs[n_ops]
+    outs = refs[n_ops + 1:]
+    arrays = [r[...] for r in ins]
+    nb, rows, _ = arrays[0].shape
+    qrows = q // LANES
+    lin_sub = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) % qrows
+    ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    valid = jnp.stack(
+        [
+            lin_sub < jnp.concatenate(
+                [jnp.full((qrows, LANES), cref[b, 0, i], jnp.int32)
+                 for i in range(n_sub)], axis=0)
+            for b in range(nb)
+        ],
+        axis=0,
+    )
+    for i in range(num_keys):
+        arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
+
+    k_real = rows * LANES
+    third = k_real // 3
+    if (
+        pad_rows
+        and sorted_run
+        and 3 * third == k_real
+        and third >= LANES
+        and (third & (third - 1)) == 0
+        and third % sorted_run == 0
+    ):
+        arrays = _merge_sorted_runs_3pow2(arrays, sorted_run, num_keys)
+        for o, a in zip(outs, arrays):
+            o[...] = a
+        return
+    if pad_rows:
+        padded = []
+        for i, a in enumerate(arrays):
+            if i < num_keys:
+                pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
+            else:
+                pad = jnp.zeros((nb, pad_rows, LANES), a.dtype)
+            padded.append(jnp.concatenate([a, pad], axis=1))
+        arrays = padded
+    if sorted_run:
+        arrays = _merge_sorted_runs(arrays, sorted_run, num_keys)
+    else:
+        arrays = _sort_network(arrays, num_keys)
+    for o, a in zip(outs, arrays):
+        o[...] = a[:, :rows]
+
+
+def sort_tiles_counts(
+    op,
+    counts: jax.Array,
+    q: int,
+    *,
+    sorted_run: int = 0,
+    num_keys: int = 1,
+    batch: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Like :func:`sort_tiles_masked` but validity comes from a tiny
+    (T, K//q) int32 counts table instead of a per-element mask — the leaf
+    side of the counts-chain design (no validity bytes in HBM)."""
+    single = not isinstance(op, (list, tuple))
+    ops = [jnp.asarray(op)] if single else [jnp.asarray(o) for o in op]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, K = ops[0].shape
+    if K % LANES or q % LANES or K % q:
+        raise ValueError(f"bad tile geometry K={K} q={q}")
+    rows = K // LANES
+    n_sub = K // q
+    k_pow2 = 1 << (K - 1).bit_length()
+    pad_rows = k_pow2 // LANES - rows
+    n_ops = len(ops)
+    nb = _pick_batch(T, K, n_ops, batch)
+
+    if sorted_run and (K % sorted_run or pad_rows * LANES % sorted_run):
+        sorted_run = 0
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_counts_sort_kernel, n_ops=n_ops, n_sub=n_sub,
+                          q=q, pad_rows=pad_rows, sorted_run=sorted_run,
+                          num_keys=num_keys),
+        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), o.dtype)
+                   for o in ops],
+        grid=(T // nb,),
+        in_specs=[spec] * n_ops + [
+            pl.BlockSpec((nb, 1, n_sub), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM)
+        ],
+        out_specs=[spec] * n_ops,
+        interpret=interpret,
+    )(*[o.reshape(T, rows, LANES) for o in ops],
+      counts.astype(jnp.int32).reshape(T, 1, n_sub))
+    out = [o.reshape(T, K) for o in out]
+    return out[0] if single else out
+
+
 def sort_tiles_masked(
     op,
     mask: jax.Array,

@@ -6,8 +6,9 @@ kernel pair (``msb/src/sort/cuda_radix_sort.h:666-802`` ``rdxsrt_histogram``,
 histogram kernel, a planner, then a scatter kernel with atomics on shared
 memory bucket offsets, this kernel fuses the entire pass per VMEM tile:
 
-  1. derives per-element validity from the previous pass's u8 mask (pass 0:
-     from the element index vs n),
+  1. derives per-element validity from the previous pass's tiny counts
+     table (SMEM; slot j of a subrun is valid iff j < count — pass 0 uses
+     the element index vs n), so no per-element validity bytes touch HBM,
   2. sorts the tile with a batched bitonic compare-exchange network (the
      keys-only single-plane path sorts the *raw key plane* one-operand, with
      garbage slots rewritten to 0xFFFFFFFF — multiset-exact for keys-only
@@ -16,8 +17,8 @@ memory bucket offsets, this kernel fuses the entire pass per VMEM tile:
   3. computes run starts/counts from the *sorted* tile with compare-reduces
      (the histogram, for free — no separate kernel, no atomics),
   4. expands the R digit runs to padded capacity S with dynamic-start
-     element-granular VMEM slices and writes the (R*S,) padded tile plus a
-     u8 validity mask and an (R,) counts row.
+     element-granular VMEM slices and writes the (R*S,) padded tile plus
+     an (R,) counts row (the next pass's validity table).
 
 The digit-major global exchange is then a free XLA transpose outside the
 kernel.  Per-run capacity overflow (skew) is detected from the counts output
@@ -65,10 +66,35 @@ def _linear_pos(nb: int, rows: int) -> jax.Array:
     return row * LANES + lane
 
 
-def _valid_from(mask_ref, nb: int, rows: int, k: int, n: Optional[int]):
-    """Per-element validity: from the u8 mask ref, or (pass 0) pos < n."""
-    if mask_ref is not None:
-        return mask_ref[...] != 0
+def _valid_from(
+    counts_ref, q: int, nb: int, rows: int, k: int, n: Optional[int]
+):
+    """Per-element validity.
+
+    From the per-tile SMEM counts table (subrun i of ``q`` elements holds
+    ``counts_ref[b, 0, i]`` valid elements as a prefix), or — pass 0, no
+    table — from the global element index vs n.  The counts chain replaces
+    the earlier u8 mask arrays: validity is fully determined by tiny
+    per-run counts, so no per-element bytes ever touch HBM.
+    """
+    if counts_ref is not None:
+        qrows = q // LANES
+        n_sub = k // q
+        shape = (rows, LANES)
+        lin_sub = (
+            jax.lax.broadcasted_iota(jnp.int32, shape, 0) % qrows
+        ) * LANES + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        cols = []
+        for b in range(nb):
+            thr = jnp.concatenate(
+                [
+                    jnp.full((qrows, LANES), counts_ref[b, 0, i], jnp.int32)
+                    for i in range(n_sub)
+                ],
+                axis=0,
+            )
+            cols.append(lin_sub < thr)
+        return jnp.stack(cols, axis=0)
     pos = _linear_pos(nb, rows)
     base = pl.program_id(0) * (nb * k)
     off = jax.lax.broadcasted_iota(jnp.int32, (nb, rows, LANES), 0) * k
@@ -101,7 +127,7 @@ def _emit_runs(
     sorted_arrays: List[jax.Array],
     starts,            # list of per-(b) lists of scalar starts, or callable
     counts,            # per-(b, d) scalar counts
-    outs,              # data outs + mask out (last)
+    outs,              # data outs
     counts_ref,
     scratch,
     *,
@@ -111,32 +137,25 @@ def _emit_runs(
     exchanged: bool = False,
 ):
     """Slice R runs per tile out of the sorted scratch into padded outputs,
-    and write the validity mask + counts row.  ``exchanged``: outputs are
-    (1, r, nb, srows, LANES) digit-major blocks (fused global exchange);
-    otherwise (nb, r*srows, LANES) tile-major."""
+    and write the counts row (the validity carrier — downstream validity is
+    positional: slot j of run d is valid iff j < counts[d]).  ``exchanged``:
+    outputs are (1, r, nb, srows, LANES) digit-major blocks (fused global
+    exchange); otherwise (nb, r*srows, LANES) tile-major."""
     rows = sorted_arrays[0].shape[1]
     srows = s // LANES
     for sc, a in zip(scratch, sorted_arrays):
         for b in range(nb):
             sc[b, :rows] = a[b]
-    lin = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 0) * LANES + \
-        jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 1)
     for b in range(nb):
         for d in range(r):
             st = starts[b][d]
-            c = counts[b][d]
-            mval = (lin < c).astype(jnp.uint8)
-            for o, sc in zip(outs[:-1], scratch):
+            for o, sc in zip(outs, scratch):
                 run = _dynamic_run_slice(sc.at[b], st, srows)
                 if exchanged:
                     o[0, d, b] = run
                 else:
                     o[b, d * srows : (d + 1) * srows] = run
-            if exchanged:
-                outs[-1][0, d, b] = mval
-            else:
-                outs[-1][b, d * srows : (d + 1) * srows] = mval
-            counts_ref[b, 0, d] = c
+            counts_ref[b, 0, d] = counts[b][d]
 
 
 def _fused_kernel(
@@ -151,25 +170,25 @@ def _fused_kernel(
     width: int,
     idx_bits: int,
     n: Optional[int],
-    has_mask: bool,
+    q_in: Optional[int],
     keys_only_fast: bool,
     sorted_run: Optional[int],
     exchanged: bool,
 ):
     # refs layout:
-    #   ins:  planes x n_planes, values x n_values, [mask]
-    #   outs: ops x (n_planes + n_values), mask_out, counts
+    #   ins:  planes x n_planes, values x n_values, [counts_in (SMEM)]
+    #   outs: ops x (n_planes + n_values), counts
     #   scratch: x n_data
     n_data = n_planes + n_values
     ins = refs[:n_data]
-    mask_ref = refs[n_data] if has_mask else None
-    base = n_data + (1 if has_mask else 0)
-    outs = refs[base : base + n_data + 1]     # data outs + mask out
-    counts_ref = refs[base + n_data + 1]
-    scratch = refs[base + n_data + 2 :]
+    cin_ref = refs[n_data] if q_in is not None else None
+    base = n_data + (1 if q_in is not None else 0)
+    outs = refs[base : base + n_data]
+    counts_ref = refs[base + n_data]
+    scratch = refs[base + n_data + 1 :]
 
     rows = k // LANES
-    valid = _valid_from(mask_ref, nb, rows, k, n)
+    valid = _valid_from(cin_ref, q_in or 0, nb, rows, k, n)
     planes = [ins[i][...] for i in range(n_planes)]
     values = [ins[n_planes + i][...] for i in range(n_values)]
     wmask = jnp.uint32((1 << width) - 1)
@@ -249,31 +268,35 @@ def _fused_kernel(
 def partition_pass_fused(
     planes: Sequence[jax.Array],
     values: Sequence[jax.Array],
-    mask: Optional[jax.Array],
+    counts_in: Optional[jax.Array],
     *,
     r: int,
     s: int,
     lo_bit: int,
     width: int,
+    q_in: Optional[int] = None,
     n: Optional[int] = None,
     sorted_run: Optional[int] = None,
     unstable: bool = False,
     t_seg: Optional[int] = None,
     batch: int = 4,
     interpret: Optional[bool] = None,
-) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+) -> Tuple[List[jax.Array], jax.Array]:
     """One fused MSD partition pass over (T, K) tiles.
 
-    planes/values: (T, K) uint32; mask: (T, K) uint8 validity or None for
-    pass 0 (then ``n`` gives the global valid prefix length).
+    planes/values: (T, K) uint32.  Validity is carried by tiny counts
+    tables, never per-element bytes: ``counts_in`` is (T, K//q_in) int32 —
+    subrun i of ``q_in`` elements holds counts_in[t, i] valid elements as a
+    prefix — or None for pass 0 (then ``n`` gives the global valid prefix
+    length).
 
     When ``t_seg`` (tiles per digit segment) is given, the digit-major
     global exchange is FUSED into the kernel's output block mapping: run d
     of tile (seg, j) is written directly to out[seg, d, j] — the XLA
-    transpose between passes disappears.  Returns (exchanged ops and mask
-    flattened to (T*R*S,), counts (T, R) int32).  Without ``t_seg``,
-    returns tile-major (T, R*S) arrays.  Counts may exceed ``s`` — the
-    caller must check for overflow.
+    transpose between passes disappears.  Returns (exchanged ops flattened
+    to (T*R*S,), counts (T, R) int32).  Without ``t_seg``, returns
+    tile-major (T, R*S) arrays.  Counts may exceed ``s`` — the caller must
+    check for overflow.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -289,7 +312,9 @@ def partition_pass_fused(
     keys_only_fast = n_planes <= 2 and (n_values == 0 or unstable)
     if not keys_only_fast and (r << idx_bits) > (1 << 32):
         raise ValueError("sortkey overflow: r * K must fit in 32 bits")
-    has_mask = mask is not None
+    if counts_in is not None:
+        if q_in is None or q_in % LANES or K % q_in:
+            raise ValueError(f"bad validity granularity q_in={q_in}")
 
     nb = batch
     while T % nb or (t_seg is not None and t_seg % nb):
@@ -303,37 +328,38 @@ def partition_pass_fused(
                      memory_space=pltpu.VMEM)
         for _ in range(n_data)
     ]
-    if has_mask:
-        inputs.append(jnp.asarray(mask).reshape(T, rows, LANES))
+    if counts_in is not None:
+        n_sub = K // q_in
+        inputs.append(
+            jnp.asarray(counts_in).astype(jnp.int32).reshape(T, 1, n_sub)
+        )
         in_specs.append(
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((nb, 1, n_sub), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM)
         )
 
     if t_seg is None:
         data_shape = [
-            jax.ShapeDtypeStruct((T, r * srows, LANES), dt)
-            for dt in [jnp.uint32] * n_data + [jnp.uint8]
+            jax.ShapeDtypeStruct((T, r * srows, LANES), jnp.uint32)
+            for _ in range(n_data)
         ]
         data_spec = pl.BlockSpec((nb, r * srows, LANES),
                                  lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)
-        out_block = None
     else:
         # exchanged layout: (n_seg, r, t_seg, srows, LANES); one grid step
         # writes all r runs of nb consecutive tiles of one segment
         n_seg = T // t_seg
         tb = t_seg // nb
         data_shape = [
-            jax.ShapeDtypeStruct((n_seg, r, t_seg, srows, LANES), dt)
-            for dt in [jnp.uint32] * n_data + [jnp.uint8]
+            jax.ShapeDtypeStruct((n_seg, r, t_seg, srows, LANES), jnp.uint32)
+            for _ in range(n_data)
         ]
         data_spec = pl.BlockSpec(
             (1, r, nb, srows, LANES),
             lambda t: (t // tb, 0, t % tb, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        out_block = (r, nb)
 
     out = pl.pallas_call(
         functools.partial(
@@ -348,7 +374,7 @@ def partition_pass_fused(
             width=width,
             idx_bits=idx_bits,
             n=n,
-            has_mask=has_mask,
+            q_in=(q_in if counts_in is not None else None),
             keys_only_fast=keys_only_fast,
             sorted_run=(sorted_run if keys_only_fast else None),
             exchanged=(t_seg is not None),
@@ -356,7 +382,7 @@ def partition_pass_fused(
         out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
         grid=(T // nb,),
         in_specs=in_specs,
-        out_specs=[data_spec] * (n_data + 1)
+        out_specs=[data_spec] * n_data
         + [
             # counts are written elementwise as scalars -> SMEM
             pl.BlockSpec((nb, 1, r), lambda t: (t, 0, 0),
@@ -370,12 +396,10 @@ def partition_pass_fused(
     )(*inputs)
     if t_seg is None:
         data = [o.reshape(T, r * s) for o in out[:n_data]]
-        out_mask = out[n_data].reshape(T, r * s)
     else:
         data = [o.reshape(-1) for o in out[:n_data]]
-        out_mask = out[n_data].reshape(-1)
-    counts = out[n_data + 1][:, 0, :]
-    return data, out_mask, counts
+    counts = out[n_data][:, 0, :]
+    return data, counts
 
 
 # ---------------------------------------------------------------------------

@@ -117,19 +117,25 @@ def plan_msd(
         n_seg = r
         for _ in range(1, p):
             # segments must be whole numbers of tiles (tiles may not span
-            # two digit segments — that would interleave order boundaries)
-            if seg % k:
+            # two digit segments — that would interleave order boundaries).
+            # When the default tile size doesn't divide the segment, shrink
+            # this pass's tile (e.g. 2^29: seg3 = 24576 = 3 * 8192).
+            kp = k
+            while kp >= r * 128 and seg % kp:
+                kp //= 2
+            if kp < r * 128 or seg % kp:
                 return None
-            t_seg = seg // k
-            if t_seg < 1:
+            sp_ = kp // r if s == k // r else s
+            if sp_ % 128 or sp_ > kp:
                 return None
-            consumed = sum(sp.width for sp in specs)
+            t_seg = seg // kp
+            consumed = sum(q.width for q in specs)
             width = min(log_r, bits - consumed)
             if width <= 0:
                 return None
             lo = end_bit - consumed - width
-            specs.append(PassSpec(n_seg, t_seg, k, r, s, lo, width))
-            seg = t_seg * s
+            specs.append(PassSpec(n_seg, t_seg, kp, r, sp_, lo, width))
+            seg = t_seg * sp_
             n_seg *= r
         if seg > leaf_max or seg % 128:
             return None
@@ -153,7 +159,7 @@ def plan_msd(
         quantum = k // math.gcd(s1, k)
         tiles_needed = -(-n // k)
         t1_base = -(-tiles_needed // quantum) * quantum
-        for step in range(64):
+        for step in range(512):
             t1 = t1_base + step * quantum
             if t1 * k > max(8 * n, 1 << 23):
                 break
@@ -486,11 +492,11 @@ def sort_twiddled_msd(
         and total_bits == 32 * nplanes
     )
     if use_pallas:
-        ops, valid, overflow = _run_passes_pallas(
+        ops, (ctable, q_fin), overflow = _run_passes_pallas(
             ops, nplanes, n, plan, unstable=(raw_ok and bool(values))
         )
     else:
-        ops, valid, overflow = _run_passes_xla(
+        ops, valid_u8, overflow = _run_passes_xla(
             ops, planes_slice, n, plan
         )
     if raw_ok and values:
@@ -506,7 +512,7 @@ def sort_twiddled_msd(
         # part of the key, so sorting packed tiles of whole segments by the
         # raw key (garbage -> 0xFFFFFFFF) both finishes each segment and
         # compacts valid keys to the tile front in globally sorted order.
-        from tpusort.kernels.bitonic import sort_tiles_masked
+        from tpusort.kernels.bitonic import sort_tiles_counts
 
         pack = 1
         while (
@@ -516,21 +522,27 @@ def sort_twiddled_msd(
             pack *= 2
         nt = plan.n_segments // pack
         tile = pack * plan.seg
-        mask_t = valid.reshape(nt, tile)
+        ct = ctable.reshape(nt, tile // q_fin)
         last_s = plan.passes[-1].s
-        sorted_ops = sort_tiles_masked(
-            [o.reshape(nt, tile) for o in ops], mask_t,
+        sorted_ops = sort_tiles_counts(
+            [o.reshape(nt, tile) for o in ops], ct, q_fin,
             sorted_run=(last_s & -last_s), num_keys=nplanes,
         )
-        tile_counts = mask_t.astype(jnp.int32).sum(axis=1)
+        tile_counts = ct.sum(axis=1, dtype=jnp.int32)
         from tpusort.kernels.collapse import collapse_segments
 
         ops = collapse_segments(sorted_ops, tile_counts, n)
     else:
+        if use_pallas:
+            ct = ctable.reshape(plan.n_segments, plan.seg // q_fin)
+            valid_arr = (
+                jnp.arange(q_fin, dtype=jnp.int32)[None, None, :]
+                < ct[:, :, None]
+            ).reshape(plan.n_segments, plan.seg)
+        else:
+            valid_arr = valid_u8.reshape(plan.n_segments, plan.seg) != 0
         ops, seg_counts = _leaf_sort(
-            ops, planes_slice,
-            valid.reshape(plan.n_segments, plan.seg) != 0,
-            plan, use_pallas,
+            ops, planes_slice, valid_arr, plan, use_pallas,
         )
         if use_pallas:
             from tpusort.kernels.collapse import collapse_segments
@@ -570,31 +582,38 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 def _run_passes_pallas(
     ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
     unstable: bool = False,
-) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
-    """All partition passes via the fused kernel; validity rides as a u8
-    mask array between passes.  Returns (ops, final mask (m,), overflow)."""
+) -> Tuple[List[jax.Array], Tuple[jax.Array, int], jax.Array]:
+    """All partition passes via the fused kernel.
+
+    Validity rides as tiny per-subrun counts tables (never per-element
+    bytes): each pass emits (T, R) counts; the table for the next consumer
+    is the exchanged, pow2-granularity subdivision of those counts.
+    Returns (ops, (counts_table (m/q,), q), overflow).
+    """
     from tpusort.kernels.partition import partition_pass_fused
 
-    mask = None
+    ctable = None
+    q = None
     overflow = jnp.asarray(False)
     prev_s = None
     for i, spec in enumerate(plan.passes):
         t = spec.n_seg * spec.t_seg
         tiled = [o.reshape(t, spec.k) for o in ops]
-        m_tiled = None if mask is None else mask.reshape(t, spec.k)
+        cin = None if ctable is None else ctable.reshape(t, spec.k // q)
         # emitted windows are monotone slices of fully sorted tiles, so the
         # largest pow2 divisor of the previous pass's run size gives sorted
         # subruns -> merge network instead of full sort (keys-only path)
         sorted_run = None if prev_s is None else (prev_s & -prev_s)
-        data, out_mask, counts = partition_pass_fused(
+        data, counts = partition_pass_fused(
             tiled[:nplanes],
             tiled[nplanes:],
-            m_tiled,
+            cin,
+            q_in=q,
             r=spec.r,
             s=spec.s,
             lo_bit=spec.lo_bit,
             width=spec.width,
-            n=(n if mask is None else None),
+            n=(n if ctable is None else None),
             sorted_run=sorted_run,
             unstable=unstable,
             t_seg=spec.t_seg,
@@ -602,10 +621,20 @@ def _run_passes_pallas(
         prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
         # kernel wrote the digit-major exchanged layout directly (fused
-        # exchange); outputs are already flat (n_seg*r*t_seg*s,)
+        # exchange); outputs are already flat (n_seg*r*t_seg*s,).  Build the
+        # next validity table in the same layout, subdivided to the largest
+        # pow2 granularity of this pass's run size.
+        q = spec.s & -spec.s
+        chunks = spec.s // q
+        c = jnp.minimum(counts, spec.s).reshape(
+            spec.n_seg, spec.t_seg, spec.r
+        ).transpose(0, 2, 1)
+        c = jnp.clip(
+            c[..., None] - jnp.arange(chunks, dtype=jnp.int32) * q, 0, q
+        )
+        ctable = c.reshape(-1)
         ops = data
-        mask = out_mask
-    return ops, mask, overflow
+    return ops, (ctable, q), overflow
 
 
 def _run_passes_xla(
