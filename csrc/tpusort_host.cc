@@ -107,6 +107,98 @@ void ts_argsort_u64(const uint64_t* keys, uint32_t* idx, size_t n) {
 }
 
 // ---------------------------------------------------------------------------
+// Multithreaded LSD radix sort (the oracle at billion-key scale)
+//
+// Per pass: each thread histograms its even-share chunk, a digit-major scan
+// over the (digit, thread) matrix assigns stable global bases (the same
+// striped-spine trick as CUB's upsweep/spine/downsweep,
+// dispatch_radix_sort.cuh:72-193, on host threads instead of thread blocks),
+// then each thread scatters its chunk.
+// ---------------------------------------------------------------------------
+
+static void mt_radix_pass_u32(const uint32_t* in, uint32_t* out,
+                              const uint32_t* vin, uint32_t* vout, size_t n,
+                              int shift, int nt) {
+  std::vector<size_t> hist((size_t)nt * 256, 0);
+  size_t chunk = (n + nt - 1) / nt;
+  auto histo = [&](int t) {
+    size_t lo = (size_t)t * chunk, hi = std::min(n, lo + chunk);
+    size_t* h = &hist[(size_t)t * 256];
+    for (size_t i = lo; i < hi; i++) h[(in[i] >> shift) & 0xFF]++;
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 1; t < nt; t++) ths.emplace_back(histo, t);
+    histo(0);
+    for (auto& th : ths) th.join();
+  }
+  // digit-major exclusive scan: base of (digit d, thread t)
+  size_t base = 0;
+  for (int d = 0; d < 256; d++) {
+    for (int t = 0; t < nt; t++) {
+      size_t c = hist[(size_t)t * 256 + d];
+      hist[(size_t)t * 256 + d] = base;
+      base += c;
+    }
+  }
+  auto scatter = [&](int t) {
+    size_t lo = (size_t)t * chunk, hi = std::min(n, lo + chunk);
+    size_t* h = &hist[(size_t)t * 256];
+    for (size_t i = lo; i < hi; i++) {
+      size_t p = h[(in[i] >> shift) & 0xFF]++;
+      out[p] = in[i];
+      if (vin) vout[p] = vin[i];
+    }
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int t = 1; t < nt; t++) ths.emplace_back(scatter, t);
+    scatter(0);
+    for (auto& th : ths) th.join();
+  }
+}
+
+void ts_sort_u32_mt(const uint32_t* keys, uint32_t* out, size_t n,
+                    int nthreads) {
+  if (nthreads <= 0) {
+    nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (n < (size_t)nthreads * 4096 || nthreads == 1) {
+    ts_sort_u32(keys, out, n);
+    return;
+  }
+  std::vector<uint32_t> tmp(n);
+  mt_radix_pass_u32(keys, tmp.data(), nullptr, nullptr, n, 0, nthreads);
+  mt_radix_pass_u32(tmp.data(), out, nullptr, nullptr, n, 8, nthreads);
+  mt_radix_pass_u32(out, tmp.data(), nullptr, nullptr, n, 16, nthreads);
+  mt_radix_pass_u32(tmp.data(), out, nullptr, nullptr, n, 24, nthreads);
+}
+
+void ts_argsort_u32_mt(const uint32_t* keys, uint32_t* idx, size_t n,
+                       int nthreads) {
+  if (nthreads <= 0) {
+    nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (n < (size_t)nthreads * 4096 || nthreads == 1) {
+    ts_argsort_u32(keys, idx, n);
+    return;
+  }
+  std::vector<uint32_t> k0(keys, keys + n), k1(n), i0(n), i1(n);
+  for (size_t i = 0; i < n; i++) i0[i] = (uint32_t)i;
+  mt_radix_pass_u32(k0.data(), k1.data(), i0.data(), i1.data(), n, 0,
+                    nthreads);
+  mt_radix_pass_u32(k1.data(), k0.data(), i1.data(), i0.data(), n, 8,
+                    nthreads);
+  mt_radix_pass_u32(k0.data(), k1.data(), i0.data(), i1.data(), n, 16,
+                    nthreads);
+  mt_radix_pass_u32(k1.data(), k0.data(), i1.data(), i0.data(), n, 24,
+                    nthreads);
+  std::memcpy(idx, i0.data(), n * sizeof(uint32_t));
+}
+
+// ---------------------------------------------------------------------------
 // Verification kernels
 // ---------------------------------------------------------------------------
 

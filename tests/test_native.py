@@ -52,3 +52,21 @@ def test_verify_pairs(rng):
     bad_vals = order.astype(np.uint32).copy()
     bad_vals[7] = bad_vals[8]  # duplicate -> not a permutation
     assert native.verify_pairs(keys, keys[order], bad_vals) != -1
+
+
+def test_native_mt_sort_matches_single_thread():
+    """Multithreaded striped-spine LSD must match the stable oracle."""
+    from tpusort.runtime import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**32, 1_500_000, dtype=np.uint32)
+    out = native.stable_sort(keys)
+    np.testing.assert_array_equal(out, np.sort(keys, kind="stable"))
+    idx = native.stable_argsort(keys)
+    np.testing.assert_array_equal(keys[idx], np.sort(keys, kind="stable"))
+    # stability: equal keys keep original order
+    dup = (rng.integers(0, 16, 500_000, dtype=np.uint32))
+    idx2 = native.stable_argsort(dup)
+    np.testing.assert_array_equal(idx2, np.argsort(dup, kind="stable"))

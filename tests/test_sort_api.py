@@ -194,3 +194,17 @@ def test_sort_planes_f64_descending_pairs():
     order = np.argsort(-f, kind="stable")
     np.testing.assert_array_equal(got, f[order])
     np.testing.assert_array_equal(np.asarray(ov), np.asarray(vals)[order])
+
+
+def test_size_sweep_geometric():
+    """Size sweep in ~x10^0.25 geometric steps (the reference sweeps
+    x10^0.1 from 100k, test_sort_keys.cu:175-195; coarser here to keep CPU
+    CI fast) — every size oracle-exact through the public API."""
+    import numpy as np
+    from tpusort.utils import datagen
+    n = 30_000
+    while n <= 1_000_000:
+        keys = datagen.random_keys(jax.random.key(n), n, "uint32")
+        got = np.asarray(tpusort.sort(keys))
+        np.testing.assert_array_equal(got, np.sort(np.asarray(keys)))
+        n = int(n * (10 ** 0.25))

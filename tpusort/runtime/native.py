@@ -42,6 +42,9 @@ def _load() -> Optional[ctypes.CDLL]:
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.ts_real_time.restype = ctypes.c_double
     lib.ts_sort_u32.argtypes = [u32p, u32p, ctypes.c_size_t]
+    lib.ts_sort_u32_mt.argtypes = [u32p, u32p, ctypes.c_size_t, ctypes.c_int]
+    lib.ts_argsort_u32_mt.argtypes = [u32p, u32p, ctypes.c_size_t,
+                                      ctypes.c_int]
     lib.ts_sort_u64.argtypes = [u64p, u64p, ctypes.c_size_t]
     lib.ts_argsort_u32.argtypes = [u32p, u32p, ctypes.c_size_t]
     lib.ts_argsort_u64.argtypes = [u64p, u32p, ctypes.c_size_t]
@@ -73,8 +76,10 @@ def stable_sort(keys: np.ndarray) -> np.ndarray:
         return np.sort(keys, kind="stable")
     out = np.empty_like(keys)
     if keys.dtype == np.uint32:
-        lib.ts_sort_u32(_ptr(keys, ctypes.c_uint32), _ptr(out, ctypes.c_uint32),
-                        keys.size)
+        # multithreaded striped-spine LSD (CUB upsweep/spine/downsweep on
+        # host threads) — the billion-key verification oracle
+        lib.ts_sort_u32_mt(_ptr(keys, ctypes.c_uint32),
+                           _ptr(out, ctypes.c_uint32), keys.size, 0)
     elif keys.dtype == np.uint64:
         lib.ts_sort_u64(_ptr(keys, ctypes.c_uint64), _ptr(out, ctypes.c_uint64),
                         keys.size)
@@ -91,8 +96,8 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
         return np.argsort(keys, kind="stable").astype(np.uint32)
     idx = np.empty(keys.size, np.uint32)
     if keys.dtype == np.uint32:
-        lib.ts_argsort_u32(_ptr(keys, ctypes.c_uint32),
-                           _ptr(idx, ctypes.c_uint32), keys.size)
+        lib.ts_argsort_u32_mt(_ptr(keys, ctypes.c_uint32),
+                              _ptr(idx, ctypes.c_uint32), keys.size, 0)
     elif keys.dtype == np.uint64:
         lib.ts_argsort_u64(_ptr(keys, ctypes.c_uint64),
                            _ptr(idx, ctypes.c_uint32), keys.size)
