@@ -100,6 +100,22 @@ def main():
                 return tpusort.sort(_hash_keys(seed),
                                     algorithm=args.algorithm)
             dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
+        elif args.log2n <= 24:
+            # small sizes: one sort is shorter than the host<->device sync
+            # (~28 ms on the tunneled backend), so amortize REPS sequenced
+            # sorts of distinct inputs inside one jitted scan
+            reps = max(4, (1 << 26) // n)
+
+            def fn(_):
+                def body(acc, i):
+                    k = _hash_keys(i) + acc
+                    out = tpusort.sort(k, algorithm=args.algorithm)
+                    return out[0], ()
+                acc, _ = jax.lax.scan(
+                    body, jnp.uint32(0), jnp.arange(reps, dtype=jnp.uint32)
+                )
+                return acc
+            dt = (_time(jax.jit(fn), 0, iters=args.iters) - overhead) / reps
         else:
             keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
             fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))

@@ -103,7 +103,9 @@ def plan_msd(
     if s is None:
         s = k // r                                  # alpha-preserving after
     if leaf_max is None:
-        leaf_max = max(k, 1 << 14)
+        # leaf tiles up to 2*K fit VMEM comfortably for 1-2 operand merges;
+        # a bigger leaf saves a whole partition pass at awkward sizes
+        leaf_max = max(2 * k, 1 << 15)
     if k % (r * 128) or s % 128 or s1 % 128:
         return None
 
@@ -150,9 +152,36 @@ def plan_msd(
             rem_width=bits - consumed,
         )
 
-    # try increasing pass counts until the leaf segment fits; for each pass
-    # count, search T1 over multiples of a divisibility quantum, accepting
-    # the first feasible plan with bounded padding waste
+    def _cost(plan: MsdPlan) -> float:
+        """Stage-slot cost model (CE stages x elements, with penalties for
+        batching-hostile tiny t_seg and the leaf's pow2 padding)."""
+        total = 0.0
+        prev_s = None
+        for sp in plan.passes:
+            nb_pen = 1.0 if sp.t_seg % 4 == 0 else 1.35
+            lgk = sp.k.bit_length() - 1
+            if prev_s is None:
+                stages = lgk * (lgk + 1) / 2          # full sort
+            else:
+                k0 = (prev_s & -prev_s).bit_length() - 1
+                stages = sum(range(k0 + 1, lgk + 1))  # merge tail
+            total += stages * sp.n_seg * sp.t_seg * sp.k * nb_pen
+            prev_s = sp.s
+        # leaf: merge from the last pass's pow2 run size; 3*2^a tiles use
+        # the staged merge (~75% of the padded cost), others pad to pow2
+        seg = plan.seg
+        run = prev_s & -prev_s
+        pow2 = 1 << (seg - 1).bit_length()
+        k0 = run.bit_length() - 1
+        stages = sum(range(k0 + 1, pow2.bit_length()))
+        third = seg // 3
+        staged = 3 * third == seg and third >= 128 and \
+            (third & (third - 1)) == 0 and third % run == 0
+        eff = seg * 1.0 if staged else pow2 * 1.0
+        total += stages * plan.n_segments * eff
+        return total
+
+    best = None
     for p in range(1, 5):
         if bits < log_r * p:
             break
@@ -165,8 +194,12 @@ def plan_msd(
                 break
             plan = _try(p, t1)
             if plan is not None:
-                return plan
-    return None
+                c = _cost(plan)
+                if best is None or c < best[0]:
+                    best = (c, plan)
+        # keep searching other pass counts and t1 values: more passes or
+        # more padding can beat a batching-hostile shallower plan
+    return None if best is None else best[1]
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +479,20 @@ def sort_twiddled_msd(
     if any(jnp.dtype(v.dtype).itemsize != 4 for v in values):
         plan = None  # non-32-bit payloads: delegate (API splits 64-bit later)
     if plan is None:
+        if (
+            (use_pallas if use_pallas is not None
+             else jax.default_backend() == "tpu")
+            and n + ((-n) % 128) <= (1 << 14)
+            and (not values or not stable)
+        ):
+            # single-tile fast path (CUB InvokeSingleTile analog,
+            # dispatch_radix_sort.cuh:834-875)
+            from tpusort.ops.small import sort_twiddled_bitonic
+
+            return sort_twiddled_bitonic(
+                planes, values, begin_bit=begin_bit, end_bit=end_bit,
+                total_bits=total_bits,
+            )
         return sort_twiddled_reference(
             planes, values, begin_bit=begin_bit, end_bit=end_bit,
             total_bits=total_bits,
@@ -516,7 +563,7 @@ def sort_twiddled_msd(
 
         pack = 1
         while (
-            pack * 2 * plan.seg <= (1 << 14)
+            pack * 2 * plan.seg <= (1 << 15)
             and plan.n_segments % (pack * 2) == 0
         ):
             pack *= 2

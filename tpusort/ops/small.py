@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from tpusort.ops.reference import sort_twiddled_reference
@@ -51,7 +52,7 @@ def sort_twiddled_bitonic(
 
     from tpusort.kernels.bitonic import sort_tiles
 
-    key = jnp.pad(planes[0], (0, pad), constant_values=0xFFFFFFFF)
+    key = jnp.pad(planes[0], (0, pad), constant_values=np.uint32(0xFFFFFFFF))
     ops = [key[None, :]] + [
         jnp.pad(jnp.asarray(v).view(jnp.uint32), (0, pad))[None, :]
         for v in values
