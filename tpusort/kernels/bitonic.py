@@ -147,20 +147,36 @@ def _merge_sorted_runs(arrays, run_in: int, num_keys: int = 1):
     return arrays
 
 
-def _merge_sorted_runs_3pow2(arrays, run_in: int, num_keys: int = 1):
-    """Sort tiles of K = 3*2^a elements (sorted ``run_in`` subruns) without
-    paying the full 4/3 pow2-padding: run the network's phases only up to
-    2^a on the 3/4-size tile (blocks end alternately asc/desc/asc by bit a),
-    bitonic-merge the first two thirds, then one final 2K-phase over
-    [sorted 2/3 | 0xFFFFFFFF pad | reversed last third] — ~60.3 stage-slot
-    equivalents for 12288 vs 80 when padding to 16384 up front.
+def merge_staged_factor(k_real: int) -> int:
+    """The odd block factor f for which the staged f*2^a merge applies
+    (f in {3, 5}), or 0."""
+    for f in (3, 5):
+        blk = k_real // f
+        if f * blk == k_real and blk >= LANES and (blk & (blk - 1)) == 0:
+            return f
+    return 0
+
+
+def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1):
+    """Sort tiles of K = f*2^a elements (f in {3,5}; sorted ``run_in``
+    subruns) without paying the full pow2-padding up front.
+
+    Run the network's phases only up to 2^a on the real tile — the f
+    blocks end alternately asc/desc by bit a of the index — then
+    bitonic-merge block pairs left to right (phase a merges (0,1) [and
+    (2,3) for f=5, which correctly comes out DESCENDING: its positions
+    have bit a+1 set], phase a+1 merges the first four), and finish with
+    one full phase over [sorted front | 0xFFFFFFFF pad | reversed last
+    block].  12288-tiles: ~60.3 stage-slot equivalents vs 80 padded;
+    10240-tiles: ~63.4 vs 105 padded to 16384.
     """
     shape = arrays[0].shape
     rows, lanes = shape[-2], shape[-1]
     k_total = rows * lanes
-    third = k_total // 3
-    a = third.bit_length() - 1
-    trows = third // lanes
+    f = merge_staged_factor(k_total)
+    blk = k_total // f
+    a = blk.bit_length() - 1
+    brows = blk // lanes
     nb = shape[0]
     k0 = run_in.bit_length() - 1
 
@@ -169,31 +185,46 @@ def _merge_sorted_runs_3pow2(arrays, run_in: int, num_keys: int = 1):
         arrays = [
             jnp.where(odd, _reverse_within(x, run_in), x) for x in arrays
         ]
-    # phases k0..a-1 on the 3/4-size tile: blocks of 2^a end asc/desc/asc
-    # (direction bit a of the index alternates across the three thirds)
+    # phases k0..a-1 on the real tile: 2^a blocks end alternating asc/desc
     for k in range(k0, a):
         for j in range(k, -1, -1):
             arrays = _compare_exchange(arrays, j, k, num_keys)
-    # phase a: first two thirds form asc++desc = bitonic; merge them
-    front = [x[:, : 2 * trows] for x in arrays]
-    back = [x[:, 2 * trows :] for x in arrays]
+    # merge block pairs: phase a over the first (f-1) blocks — each
+    # (asc, desc) pair is bitonic; outputs take the direction of bit a+1
+    # of their positions, re-establishing alternation at size 2^(a+1)
+    npair_rows = (f - 1) * brows
+    front = [x[:, :npair_rows] for x in arrays]
+    back = [x[:, npair_rows:] for x in arrays]
     for j in range(a, -1, -1):
         front = _compare_exchange(front, j, a, num_keys)
-    # final phase a+1 over 2K virtual slots: descending second half is
-    # [0xFFFFFFFF pad | reversed last third]
+    if f == 5:
+        # phase a+1 merges the (asc 2^(a+1), desc 2^(a+1)) front into an
+        # ascending 2^(a+2) run
+        for j in range(a + 1, -1, -1):
+            front = _compare_exchange(front, j, a + 1, num_keys)
+    # final phase over 2*pow2ceil: descending second half is
+    # [0xFFFFFFFF pad | reversed last block]
+    pad_rows_ = (f - 1) * brows - brows  # pad to mirror the front size
     pad = []
     for i in range(len(arrays)):
         if i < num_keys:
-            pad.append(jnp.full((nb, trows, LANES), 0xFFFFFFFF, jnp.uint32))
+            pad.append(
+                jnp.full((nb, pad_rows_, LANES), 0xFFFFFFFF, jnp.uint32)
+            )
         else:
-            pad.append(jnp.zeros((nb, trows, LANES), arrays[i].dtype))
+            pad.append(jnp.zeros((nb, pad_rows_, LANES), arrays[i].dtype))
     full = [
-        jnp.concatenate([f, p, _reverse_within(b, third)], axis=1)
-        for f, p, b in zip(front, pad, back)
+        jnp.concatenate([fr, p, _reverse_within(b, blk)], axis=1)
+        for fr, p, b in zip(front, pad, back)
     ]
-    for j in range(a + 1, -1, -1):
-        full = _compare_exchange(full, j, a + 1, num_keys)
-    return [x[:, : 3 * trows] for x in full]
+    k_fin = a + (f - 1).bit_length() - 1  # f=3 -> a+1, f=5 -> a+2
+    for j in range(k_fin, -1, -1):
+        full = _compare_exchange(full, j, k_fin, num_keys)
+    return [x[:, : f * brows] for x in full]
+
+
+# backward-compatible name
+_merge_sorted_runs_3pow2 = _merge_sorted_runs_fpow2
 
 
 def _sort_kernel(*refs, n_ops: int, pad_rows: int):
@@ -237,18 +268,16 @@ def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
     rows = arrays[0].shape[1]
     k_real = rows * LANES
-    third = k_real // 3
+    f = merge_staged_factor(k_real)
     if (
         pad_rows
         and sorted_run
-        and 3 * third == k_real
-        and third >= LANES
-        and (third & (third - 1)) == 0
-        and third % sorted_run == 0
+        and f
+        and (k_real // f) % sorted_run == 0
     ):
-        # K = 3*2^a: staged merge avoids materializing + computing the
-        # 4/3 pow2 padding for most of the network
-        arrays = _merge_sorted_runs_3pow2(arrays, sorted_run, num_keys)
+        # K = f*2^a: staged merge avoids materializing + computing the
+        # pow2 padding for most of the network
+        arrays = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys)
         for o, a in zip(outs, arrays):
             o[...] = a
         return
@@ -297,16 +326,16 @@ def _counts_sort_kernel(*refs, n_ops: int, n_sub: int, q: int,
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
 
     k_real = rows * LANES
-    third = k_real // 3
+    f = merge_staged_factor(k_real)
     if (
         pad_rows
         and sorted_run
-        and 3 * third == k_real
-        and third >= LANES
-        and (third & (third - 1)) == 0
-        and third % sorted_run == 0
+        and f
+        and (k_real // f) % sorted_run == 0
     ):
-        arrays = _merge_sorted_runs_3pow2(arrays, sorted_run, num_keys)
+        # K = f*2^a: staged merge avoids materializing + computing the
+        # pow2 padding for most of the network
+        arrays = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys)
         for o, a in zip(outs, arrays):
             o[...] = a
         return

@@ -111,8 +111,20 @@ def plan_msd(
 
     bits = end_bit - begin_bit
 
+    import math as _math
+
+    def _cap_ok(kp: int, cap: int, density: float) -> bool:
+        """Run capacity must clear the binomial mean by ~6.5 sigma, or
+        uniform inputs would routinely trip the overflow fallback."""
+        mean = kp * density / r
+        sigma = _math.sqrt(max(mean * (1 - 1 / r), 1.0))
+        return cap >= mean + 6.5 * sigma
+
     def _try(p: int, t1: int) -> Optional[MsdPlan]:
         """Build a p-pass plan with T1 tiles, or None if infeasible."""
+        density = (k / r) / s1          # valid fraction after pass 0
+        if not _cap_ok(k, s1, 1.0):
+            return None
         seg = t1 * s1
         specs = [PassSpec(1, t1, k, r, s1, end_bit - min(log_r, bits),
                           min(log_r, bits))]
@@ -129,6 +141,8 @@ def plan_msd(
                 return None
             sp_ = kp // r if s == k // r else s
             if sp_ % 128 or sp_ > kp:
+                return None
+            if not _cap_ok(kp, sp_, density):
                 return None
             t_seg = seg // kp
             consumed = sum(q.width for q in specs)
@@ -174,10 +188,11 @@ def plan_msd(
         pow2 = 1 << (seg - 1).bit_length()
         k0 = run.bit_length() - 1
         stages = sum(range(k0 + 1, pow2.bit_length()))
-        third = seg // 3
-        staged = 3 * third == seg and third >= 128 and \
-            (third & (third - 1)) == 0 and third % run == 0
-        eff = seg * 1.0 if staged else pow2 * 1.0
+        from tpusort.kernels.bitonic import merge_staged_factor
+
+        f = merge_staged_factor(seg)
+        staged = f and (seg // f) % run == 0
+        eff = seg * 1.05 if staged else pow2 * 1.0
         total += stages * plan.n_segments * eff
         return total
 
