@@ -194,6 +194,13 @@ def make_global_sort(
         n = keys.shape[0]
         if n % d:
             raise ValueError(f"n={n} must be divisible by mesh size {d}")
+        if d == 1:
+            # single device: the whole distributed machinery degenerates —
+            # go straight to the local engine
+            from tpusort.api import sort as _local_sort
+
+            return _local_sort(keys, values, descending=descending,
+                               stable=False)
         n_shard = n // d
         capacity = min(
             n_shard, int(capacity_factor * max(n_shard // d, 1) + 127) // 128 * 128
