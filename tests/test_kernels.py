@@ -1,0 +1,137 @@
+"""Kernel-level unit tests (Pallas interpret mode).
+
+Pin the network/kernel primitives directly — the engine tests exercise them
+end-to-end, but these isolate regressions to a specific primitive: the
+bitonic sort network, merge-from-sorted-runs entry, the XOR-decomposed
+block reversal, the staged f*2^a merge (f in {3,5}), the counts-table leaf,
+and the fused partition pass's counts output.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusort.kernels import bitonic as kb
+from tpusort.kernels.partition import partition_pass_fused
+
+LANES = kb.LANES
+
+
+def _run_net(fn_body, ops, nb=1):
+    """Run a network body over (T, K) operands in interpret mode."""
+    T, K = ops[0].shape
+    rows = K // LANES
+    n = len(ops)
+
+    def kern(*refs):
+        ins, outs = refs[:n], refs[n:]
+        arrays = fn_body([r[...] for r in ins])
+        for o, a in zip(outs, arrays):
+            o[...] = a
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), o.dtype)
+                   for o in ops],
+        grid=(T // nb,), in_specs=[spec] * n, out_specs=[spec] * n,
+        interpret=True,
+    )(*[o.reshape(T, rows, LANES) for o in ops])
+    return [o.reshape(T, K) for o in out]
+
+
+def test_sort_network_exact():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**32, (4, 1024), dtype=np.uint32)
+    (got,) = _run_net(lambda a: kb._sort_network(a), [jnp.asarray(x)])
+    np.testing.assert_array_equal(np.asarray(got), np.sort(x, axis=1))
+
+
+def test_reverse_within():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 2**32, (2, 1024), dtype=np.uint32)
+    (got,) = _run_net(lambda a: [kb._reverse_within(a[0], 256)],
+                      [jnp.asarray(x)])
+    want = x.reshape(2, 4, 256)[:, :, ::-1].reshape(2, 1024)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("run", [128, 256, 512])
+def test_merge_sorted_runs(run):
+    rng = np.random.default_rng(run)
+    x = rng.integers(0, 2**32, (3, 2048), dtype=np.uint32)
+    x = np.sort(x.reshape(3, 2048 // run, run), axis=2).reshape(3, 2048)
+    (got,) = _run_net(lambda a: kb._merge_sorted_runs(a, run),
+                      [jnp.asarray(x)])
+    np.testing.assert_array_equal(np.asarray(got), np.sort(x, axis=1))
+
+
+@pytest.mark.parametrize("k,run", [(384, 128), (1536, 256), (640, 128),
+                                   (2560, 256)])
+def test_staged_fpow2_merge(k, run):
+    assert kb.merge_staged_factor(k) in (3, 5)
+    rng = np.random.default_rng(k)
+    x = rng.integers(0, 2**32, (2, k), dtype=np.uint32)
+    x = np.sort(x.reshape(2, k // run, run), axis=2).reshape(2, k)
+    (got,) = _run_net(
+        lambda a: kb._merge_sorted_runs_fpow2(a, run), [jnp.asarray(x)]
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.sort(x, axis=1))
+
+
+def test_two_key_lexicographic_network():
+    rng = np.random.default_rng(4)
+    hi = rng.integers(0, 4, (2, 512), dtype=np.uint32)   # heavy ties
+    lo = rng.integers(0, 2**32, (2, 512), dtype=np.uint32)
+    got = _run_net(lambda a: kb._sort_network(a, num_keys=2),
+                   [jnp.asarray(hi), jnp.asarray(lo)])
+    comp = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    want = np.sort(comp, axis=1)
+    gc = (np.asarray(got[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(got[1]).astype(np.uint64)
+    np.testing.assert_array_equal(gc, want)
+
+
+def test_sort_tiles_counts_validity():
+    """Counts-table leaf: garbage slots excluded, valid prefix sorted."""
+    rng = np.random.default_rng(5)
+    T, K, q = 4, 1024, 128
+    x = rng.integers(0, 2**32 - 1, (T, K), dtype=np.uint32)
+    counts = rng.integers(0, q + 1, (T, K // q), dtype=np.int32)
+    got = kb.sort_tiles_counts(jnp.asarray(x), jnp.asarray(counts), q,
+                               interpret=True)
+    got = np.asarray(got)
+    for t in range(T):
+        valid = np.concatenate([
+            x[t, i * q : i * q + counts[t, i]] for i in range(K // q)
+        ])
+        np.testing.assert_array_equal(got[t, : valid.size], np.sort(valid))
+        assert np.all(got[t, valid.size:] == 0xFFFFFFFF)
+
+
+def test_partition_pass_counts_and_runs():
+    """Fused pass: counts must equal the per-(tile, digit) histogram and
+    each emitted run must hold that digit's keys sorted."""
+    rng = np.random.default_rng(6)
+    T, K, R, S = 2, 2048, 8, 384
+    x = rng.integers(0, 2**32 - 1, (T, K), dtype=np.uint32)
+    n = T * K - 333
+    data, counts = partition_pass_fused(
+        [jnp.asarray(x.reshape(-1)).reshape(T, K)], [], None,
+        r=R, s=S, lo_bit=29, width=3, n=n, interpret=True,
+    )
+    counts = np.asarray(counts)
+    flat = x.reshape(-1)[:n]
+    out = np.asarray(data[0]).reshape(T, R, S)
+    for t in range(T):
+        tile = flat[t * K : (t + 1) * K]
+        for d in range(R):
+            want = np.sort(tile[(tile >> 29) == d])
+            assert counts[t, d] == want.size
+            np.testing.assert_array_equal(out[t, d, : want.size], want)
