@@ -84,6 +84,12 @@ def _register_builtin_engines():
     register_engine(
         "msd_unstable", functools.partial(sort_twiddled_msd, stable=False)
     )
+    # adaptive equi-depth splitter engine: balanced buckets for skewed
+    # distributions (the reference's dynamic hot-bucket handling, made
+    # static via sampled splitters; keys-only)
+    from tpusort.ops.equidepth import sort_twiddled_equidepth
+
+    register_engine("msd_equidepth", sort_twiddled_equidepth)
     # The MSD hybrid here is stable (position-index tiebreaks throughout),
     # so it provides the reference's LSB/stable semantics too; "lsd" is the
     # CUB-parity name (device_radix_sort.cuh:147-660).

@@ -174,18 +174,28 @@ def _fused_kernel(
     keys_only_fast: bool,
     sorted_run: Optional[int],
     exchanged: bool,
+    digit_input: bool = False,
+    splitter_input: bool = False,
 ):
     # refs layout:
-    #   ins:  planes x n_planes, values x n_values, [counts_in (SMEM)]
+    #   ins:  [digit (if digit_input)], planes x n_planes,
+    #         values x n_values, [splitters (SMEM)], [counts_in (SMEM)]
     #   outs: ops x (n_planes + n_values), counts
     #   scratch: x n_data
     n_data = n_planes + n_values
-    ins = refs[:n_data]
-    cin_ref = refs[n_data] if q_in is not None else None
-    base = n_data + (1 if q_in is not None else 0)
-    outs = refs[base : base + n_data]
-    counts_ref = refs[base + n_data]
-    scratch = refs[base + n_data + 1 :]
+    di = 1 if digit_input else 0
+    digit_ref = refs[0] if digit_input else None
+    ins = refs[di : di + n_data]
+    pos = di + n_data
+    spl_ref = None
+    if splitter_input:
+        spl_ref = refs[pos]
+        pos += 1
+    cin_ref = refs[pos] if q_in is not None else None
+    pos += 1 if q_in is not None else 0
+    outs = refs[pos : pos + n_data]
+    counts_ref = refs[pos + n_data]
+    scratch = refs[pos + n_data + 1 :]
 
     rows = k // LANES
     valid = _valid_from(cin_ref, q_in or 0, nb, rows, k, n)
@@ -214,34 +224,74 @@ def _fused_kernel(
             )
         else:
             sorted_all = _sort_network(kplanes + values, num_keys=n_planes)
-        sorted_digit = _extract_bits_arrays(
-            sorted_all[:n_planes], lo_bit, width
-        )
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
         ]
-        # starts from the sorted tile: garbage (digit == r-1 region) only
-        # affects the top run, whose count is clamped by n_valid
         starts = []
         counts = []
-        for b in range(nb):
-            st = [jnp.int32(0)]
-            for d in range(1, r):
-                st.append(
-                    jnp.sum((sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32))
-                )
-            cn = [st[d + 1] - st[d] for d in range(r - 1)]
-            cn.append(n_valid[b] - st[r - 1])
-            starts.append(st)
-            counts.append(cn)
+        if splitter_input:
+            # equi-depth range buckets: the sorted tile's buckets are
+            # contiguous, so the cut point for bucket d is any position in
+            # the legal tie range [a_d, b_d] (a = #keys < s_d, b = #keys
+            # <= s_d: boundary-valued keys may sit on either side because
+            # they are equal across all tiles).  Capacity-clipping the cut
+            # into that range spreads heavy values; a cut forced OUTSIDE
+            # the range means the sample misjudged a bucket -> poison the
+            # counts so the caller's overflow fallback fires.
+            sorted_plane = sorted_all[0]
+            for b in range(nb):
+                st = [jnp.int32(0)]
+                flag = jnp.int32(0)
+                for d in range(1, r):
+                    sd = spl_ref[b, 0, d - 1]
+                    a_d = jnp.sum((sorted_plane[b] < sd).astype(jnp.int32))
+                    b_d = jnp.sum((sorted_plane[b] <= sd).astype(jnp.int32))
+                    lo = jnp.maximum(a_d, st[-1])
+                    hi = st[-1] + s
+                    flag = flag | (lo > hi).astype(jnp.int32)
+                    c_d = jnp.minimum(
+                        jnp.minimum(jnp.maximum(b_d, lo), hi), n_valid[b]
+                    )
+                    st.append(c_d)
+                cn = [st[d + 1] - st[d] for d in range(r - 1)]
+                last = n_valid[b] - st[r - 1]
+                flag = flag | (last > s).astype(jnp.int32)
+                # poison count 0 so jnp.any(counts > s) trips downstream
+                cn = [jnp.where(flag > 0, jnp.int32(k + 1), cn[0])] + cn[1:]
+                cn.append(last)
+                starts.append(st)
+                counts.append(cn)
+        else:
+            sorted_digit = _extract_bits_arrays(
+                sorted_all[:n_planes], lo_bit, width
+            )
+            # starts from the sorted tile: garbage (digit == r-1 region)
+            # only affects the top run, whose count is clamped by n_valid
+            for b in range(nb):
+                st = [jnp.int32(0)]
+                for d in range(1, r):
+                    st.append(
+                        jnp.sum(
+                            (sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32)
+                        )
+                    )
+                cn = [st[d + 1] - st[d] for d in range(r - 1)]
+                cn.append(n_valid[b] - st[r - 1])
+                starts.append(st)
+                counts.append(cn)
         _emit_runs(
             sorted_all, starts, counts, outs, counts_ref,
             scratch, nb=nb, r=r, s=s, exchanged=exchanged,
         )
         return
 
-    # general path: stable (digit, idx) sortkey; planes + values ride along
-    digit = _extract_bits_arrays(planes, lo_bit, width)
+    # general path: stable (digit, idx) sortkey; planes + values ride along.
+    # The digit is either extracted key bits (radix) or a caller-computed
+    # plane (e.g. equi-depth splitter buckets for skewed distributions).
+    if digit_input:
+        digit = digit_ref[...]
+    else:
+        digit = _extract_bits_arrays(planes, lo_bit, width)
     idx = _linear_pos(nb, rows).astype(jnp.uint32) & jnp.uint32(
         (1 << idx_bits) - 1
     )
@@ -279,6 +329,8 @@ def partition_pass_fused(
     sorted_run: Optional[int] = None,
     unstable: bool = False,
     t_seg: Optional[int] = None,
+    digit: Optional[jax.Array] = None,
+    splitters: Optional[jax.Array] = None,
     batch: int = 4,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
@@ -309,7 +361,11 @@ def partition_pass_fused(
     n_planes, n_values = len(planes), len(values)
     n_data = n_planes + n_values
     idx_bits = K.bit_length() - 1
-    keys_only_fast = n_planes <= 2 and (n_values == 0 or unstable)
+    keys_only_fast = (
+        digit is None and n_planes <= 2 and (n_values == 0 or unstable)
+    )
+    if splitters is not None and not (keys_only_fast and n_planes == 1):
+        raise ValueError("splitters mode requires the single-plane raw path")
     if not keys_only_fast and (r << idx_bits) > (1 << 32):
         raise ValueError("sortkey overflow: r * K must fit in 32 bits")
     if counts_in is not None:
@@ -323,11 +379,21 @@ def partition_pass_fused(
 
     shaped = [o.reshape(T, rows, LANES) for o in ops]
     inputs = list(shaped)
+    if digit is not None:
+        inputs.insert(0, jnp.asarray(digit).reshape(T, rows, LANES))
     in_specs = [
         pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM)
-        for _ in range(n_data)
+        for _ in range(n_data + (1 if digit is not None else 0))
     ]
+    if splitters is not None:
+        inputs.append(
+            jnp.asarray(splitters).astype(jnp.uint32).reshape(T, 1, r - 1)
+        )
+        in_specs.append(
+            pl.BlockSpec((nb, 1, r - 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
     if counts_in is not None:
         n_sub = K // q_in
         inputs.append(
@@ -378,6 +444,8 @@ def partition_pass_fused(
             keys_only_fast=keys_only_fast,
             sorted_run=(sorted_run if keys_only_fast else None),
             exchanged=(t_seg is not None),
+            digit_input=(digit is not None),
+            splitter_input=(splitters is not None),
         ),
         out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
         grid=(T // nb,),
