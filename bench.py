@@ -17,7 +17,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# persistent compile cache: the big fused kernels take 60s+ (sometimes much
+# longer on the remote-compile service) — pay it once across processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import jax
 import jax.numpy as jnp

@@ -76,41 +76,16 @@ def test_equidepth_api_dispatch():
 def _overflow_flag(keys, plan_kwargs=SMALL):
     """Run the equidepth pipeline and return its overflow flag (the silent
     fallback would mask kernel bugs behind exact-but-slow output)."""
-    from tpusort.kernels.partition import partition_pass_fused
-    import jax.numpy as jnp
     planes, _ = td.twiddle_in(keys)
     n = keys.shape[0]
-    kwargs = {k: v for k, v in plan_kwargs.items()
-              if k not in ("min_n", "sample_log2")}
+    kwargs, _, sample_log2, m_sample, leaf_max = equidepth._prepare(
+        n, dict(plan_kwargs))
     plan = msd.plan_msd(n, 0, 32, **kwargs)
-    p = len(plan.passes)
-    r = plan.passes[0].r
-    q = equidepth._quantile_table(planes[0], n, r ** p - 1,
-                                  sample_log2=plan_kwargs.get("sample_log2"))
-    ops = [jnp.pad(planes[0], (0, plan.m1 - n))]
-    ctable, qg, prev_s = None, None, None
-    overflow = jnp.asarray(False)
-    for j, spec in enumerate(plan.passes):
-        t = spec.n_seg * spec.t_seg
-        tiled = [o.reshape(t, spec.k) for o in ops]
-        spl = equidepth._pass_splitters(q, p, j, r, spec.t_seg)
-        cin = None if ctable is None else ctable.reshape(t, spec.k // qg)
-        data, counts = partition_pass_fused(
-            tiled, [], cin, q_in=qg, r=spec.r, s=spec.s,
-            lo_bit=spec.lo_bit, width=spec.width,
-            n=(n if ctable is None else None),
-            sorted_run=(None if prev_s is None else (prev_s & -prev_s)),
-            t_seg=spec.t_seg, splitters=spl, interpret=True,
-        )
-        overflow |= jnp.any(counts > spec.s)
-        qg = spec.s & -spec.s
-        c = jnp.minimum(counts, spec.s).reshape(
-            spec.n_seg, spec.t_seg, spec.r).transpose(0, 2, 1)
-        c = jnp.clip(c[..., None] - jnp.arange(spec.s // qg,
-                                               dtype=jnp.int32) * qg, 0, qg)
-        ctable = c.reshape(-1)
-        prev_s = spec.s
-        ops = data
+    plan = equidepth._widen_last(plan, n, m_sample, leaf_max)
+    q = equidepth._quantile_table(
+        planes[0], n, plan.passes[0].r ** len(plan.passes) - 1,
+        sample_log2=sample_log2)
+    _, overflow = equidepth._run_pipeline(planes[0], n, plan, q, True)
     return bool(overflow)
 
 
@@ -123,13 +98,20 @@ def test_equidepth_no_false_fallback(entropy):
         f"equidepth overflow fired on entropy={entropy}"
 
 
-def test_equidepth_zipf_falls_back_exactly():
-    """Mid-frequency heavy values (zipf) concentrate into all-tie tiles
-    whose splitter span x capacity cannot hold them — a structural limit
-    of per-tile static layouts (needs per-SEGMENT offsets, i.e. a
-    (tile,bucket) spine scan; round-2 work).  The engine must detect this
-    and fall back; output exactness is covered by test_equidepth_zipf."""
+def test_equidepth_presorted_no_fallback():
+    """Presorted input concentrates each contiguous tile into one bucket;
+    the strided tile assignment (every tile mirrors the global
+    distribution) must absorb it without the fallback."""
+    n = 60_000
+    keys = jnp.sort(datagen.random_keys(jax.random.key(31), n, "uint32"))
+    assert not _overflow_flag(keys), "presorted tripped the fallback"
+
+
+def test_equidepth_zipf_no_fallback():
+    """Zipfian duplication: heavy values span multiple splitters (repeated
+    splitter values), strided tiles mirror the global mass, and the
+    capacity-clipped tie spreading absorbs the span — no fallback."""
     n = 60_000
     keys = datagen.zipf_keys(jax.random.key(30), n, alpha=1.2,
                              dtype=jnp.uint32)
-    assert _overflow_flag(keys), "expected zipf to take the exact fallback"
+    assert not _overflow_flag(keys), "zipf tripped the fallback"

@@ -154,7 +154,7 @@ def collapse_segments(
             for _ in range(n_data)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_data)
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_data)
         ],
         scratch_shapes=[pltpu.VMEM((brows, LANES), jnp.uint32)
                         for _ in range(n_data)]

@@ -188,9 +188,11 @@ def _fused_kernel(
     ins = refs[di : di + n_data]
     pos = di + n_data
     spl_ref = None
+    frac_ref = None
     if splitter_input:
         spl_ref = refs[pos]
-        pos += 1
+        frac_ref = refs[pos + 1]
+        pos += 2
     cin_ref = refs[pos] if q_in is not None else None
     pos += 1 if q_in is not None else 0
     outs = refs[pos : pos + n_data]
@@ -234,32 +236,66 @@ def _fused_kernel(
             # contiguous, so the cut point for bucket d is any position in
             # the legal tie range [a_d, b_d] (a = #keys < s_d, b = #keys
             # <= s_d: boundary-valued keys may sit on either side because
-            # they are equal across all tiles).  Capacity-clipping the cut
-            # into that range spreads heavy values; a cut forced OUTSIDE
-            # the range means the sample misjudged a bucket -> poison the
-            # counts so the caller's overflow fallback fires.
+            # they are equal across all tiles).  The cut targets the
+            # PROPORTIONAL position a + f*(b-a) — f is the boundary's share
+            # of the tied value per the quantile table — so every pass's
+            # tie allocation matches the deeper splitters (greedy capacity
+            # fill hands boundary-straddling heavy values more than their
+            # quantile share and guarantees a later overflow).  A cut
+            # forced outside [max(a,prev), prev+s] means the sample
+            # misjudged a bucket -> poison the counts so the caller's
+            # overflow fallback fires.
             sorted_plane = sorted_all[0]
             for b in range(nb):
                 st = [jnp.int32(0)]
+                bs = [jnp.int32(0)]
                 flag = jnp.int32(0)
+                tile_id = pl.program_id(0) * nb + b
                 for d in range(1, r):
                     sd = spl_ref[b, 0, d - 1]
+                    fd = frac_ref[b, 0, d - 1].astype(jnp.int32)
                     a_d = jnp.sum((sorted_plane[b] < sd).astype(jnp.int32))
                     b_d = jnp.sum((sorted_plane[b] <= sd).astype(jnp.int32))
                     lo = jnp.maximum(a_d, st[-1])
                     hi = st[-1] + s
                     flag = flag | (lo > hi).astype(jnp.int32)
+                    # dithered rounding: per-tile tie counts are tiny (a
+                    # heavy value spreads ~1-2 copies per strided tile), so
+                    # plain floor(f*(b-a)) sends EVERY sub-unit share the
+                    # same way and the aggregate split deviates from f by
+                    # up to a whole tile-count (measured on zipf: 53% of a
+                    # heavy boundary value sent above an f=0.83 cut).  A
+                    # per-(tile, boundary) hash offset in [0, 2^16) makes
+                    # the expected aggregate exactly f * mass.
+                    u = (
+                        (tile_id * jnp.int32(-1640531527)
+                         + jnp.int32((d * 0x85EBCA6B) & 0x7FFFFFFF))
+                        >> 15
+                    ) & jnp.int32(0xFFFF)
+                    tgt = a_d + ((fd * (b_d - a_d) + u) >> 16)
                     c_d = jnp.minimum(
-                        jnp.minimum(jnp.maximum(b_d, lo), hi), n_valid[b]
+                        jnp.minimum(jnp.maximum(tgt, lo), hi), n_valid[b]
                     )
                     st.append(c_d)
+                    bs.append(b_d)
+                # backward relief sweep: tie-rounding drift accumulates in
+                # the uncapped top bucket; raise cuts from the top within
+                # their tie-legal bound b_d (moved elements equal s_d, so
+                # bucket membership stays order-exact).  A raise clipped by
+                # b_d leaves counts > s, which the caller's overflow check
+                # catches.
+                st.append(n_valid[b])
+                for d in range(r - 1, 0, -1):
+                    st[d] = jnp.maximum(
+                        st[d], jnp.minimum(st[d + 1] - s, bs[d])
+                    )
                 cn = [st[d + 1] - st[d] for d in range(r - 1)]
                 last = n_valid[b] - st[r - 1]
                 flag = flag | (last > s).astype(jnp.int32)
                 # poison count 0 so jnp.any(counts > s) trips downstream
                 cn = [jnp.where(flag > 0, jnp.int32(k + 1), cn[0])] + cn[1:]
                 cn.append(last)
-                starts.append(st)
+                starts.append(st[:r])
                 counts.append(cn)
         else:
             sorted_digit = _extract_bits_arrays(
@@ -331,6 +367,7 @@ def partition_pass_fused(
     t_seg: Optional[int] = None,
     digit: Optional[jax.Array] = None,
     splitters: Optional[jax.Array] = None,
+    splitter_fracs: Optional[jax.Array] = None,
     batch: int = 4,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
@@ -387,13 +424,17 @@ def partition_pass_fused(
         for _ in range(n_data + (1 if digit is not None else 0))
     ]
     if splitters is not None:
-        inputs.append(
-            jnp.asarray(splitters).astype(jnp.uint32).reshape(T, 1, r - 1)
-        )
-        in_specs.append(
-            pl.BlockSpec((nb, 1, r - 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM)
-        )
+        if splitter_fracs is None:
+            # greedy fill: ties pack earlier buckets to capacity
+            splitter_fracs = jnp.full((T, r - 1), 1 << 16, jnp.uint32)
+        for arr in (splitters, splitter_fracs):
+            inputs.append(
+                jnp.asarray(arr).astype(jnp.uint32).reshape(T, 1, r - 1)
+            )
+            in_specs.append(
+                pl.BlockSpec((nb, 1, r - 1), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM)
+            )
     if counts_in is not None:
         n_sub = K // q_in
         inputs.append(
