@@ -107,6 +107,23 @@ def test_equidepth_presorted_no_fallback():
     assert not _overflow_flag(keys), "presorted tripped the fallback"
 
 
+def test_msd_skew_tier_dispatch():
+    """The default engine's three-tier fallback: radix overflow routes
+    through the equi-depth pipeline (then reference).  Constant keys
+    overflow the radix capacities deterministically, so this exercises
+    the tier; exactness is the observable."""
+    n = 60_000
+    keys = datagen.entropy_keys(jax.random.key(40), n, 0, "uint32")
+    planes, traits = td.twiddle_in(keys)
+    sp, _ = msd.sort_twiddled_msd(
+        planes, (), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=False, skew_tier=True,
+    )
+    got = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np_sort_oracle(np.asarray(keys)))
+
+
 def test_equidepth_zipf_no_fallback():
     """Zipfian duplication: heavy values span multiple splitters (repeated
     splitter values), strided tiles mirror the global mass, and the

@@ -136,8 +136,12 @@ def _quantile_table(plane: jax.Array, n: int, nq: int,
     sample = jax.lax.slice(plane, (0,), (n,), (stride,))
     m = sample.shape[0]
     if m >= (1 << 18):
+        # skew_tier=False: the sample sort must not nest another equidepth
+        # branch (recursive cond workspace); a skewed sample just takes
+        # this inner sort's reference fallback
         (sample,), _ = _msd.sort_twiddled_msd(
             (sample,), (), begin_bit=0, end_bit=32, total_bits=32,
+            skew_tier=False,
         )
     else:
         sample = jax.lax.sort(sample)

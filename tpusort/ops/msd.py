@@ -472,6 +472,7 @@ def sort_twiddled_msd(
     use_pallas: Optional[bool] = None,
     plan_kwargs: Optional[dict] = None,
     stable: bool = True,
+    skew_tier: Optional[bool] = None,
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """MSD hybrid engine entry (engine-registry signature).
 
@@ -479,11 +480,19 @@ def sort_twiddled_msd(
     reference's ``rdxsrt_unstable_sort_pairs`` semantics,
     ``msb/src/sort/gpu_radix_sort.h:544``): keys+values ride a 2-operand
     raw-key network instead of the 3-operand (digit,idx)-sortkey network.
-    Falls back to the stable XLA sort when no feasible plan exists (small n,
-    narrow bit ranges) or — via lax.cond — when run overflow reveals a skewed
-    distribution the static padding cannot absorb (or, unstable-pairs only,
-    when some valid key equals 0xFFFFFFFF and would tie the garbage
-    sentinel).
+    Falls back when no feasible plan exists (small n, narrow bit ranges)
+    or — via lax.cond — when run overflow reveals a skewed distribution
+    the static padding cannot absorb (or, unstable-pairs only, when some
+    valid key equals 0xFFFFFFFF and would tie the garbage sentinel).
+
+    ``skew_tier`` (default: on for keys-only single-plane u32 full-range,
+    n < 2^28, pallas): route the overflow fallback through the equi-depth
+    splitter engine (~300-400 M keys/s on skewed inputs) before the exact
+    reference sort — the analog of the reference's dynamic hot-bucket
+    handling (``cuda_radix_sort.h:437-447``) engaging only when the radix
+    path's static capacities overflow.  Disabled above 2^28 (the nested
+    branch workspace reservation would exceed HBM) and inside the skew
+    tier's own sampling sort (no recursive tiers).
     """
     n = planes[0].shape[0]
     kwargs = dict(plan_kwargs or {})
@@ -616,7 +625,25 @@ def sort_twiddled_msd(
         else:
             ops = _compact_xla(ops, seg_counts, plan.seg, n)
 
+    if skew_tier is None:
+        skew_tier = (
+            use_pallas
+            and not values
+            and nplanes == 1
+            and begin_bit == 0
+            and end_bit == total_bits == 32
+            and n < (1 << 28)
+        )
+
     def _fallback(_):
+        if skew_tier:
+            from tpusort.ops.equidepth import sort_twiddled_equidepth
+
+            sp, _ = sort_twiddled_equidepth(
+                planes, (), begin_bit=begin_bit, end_bit=end_bit,
+                total_bits=total_bits, use_pallas=use_pallas,
+            )
+            return list(sp)
         sp, sv = sort_twiddled_reference(
             planes, values, begin_bit=begin_bit, end_bit=end_bit,
             total_bits=total_bits,
