@@ -71,28 +71,52 @@ def _select_splitters(tw: jax.Array, n_shard: int, d: int, axis: str):
     return jax.lax.fori_loop(0, 32, round_, (prefix0, below0))
 
 
-def _destinations(tw, splitters, below, n_shard, d, axis):
-    """Destination device for every local element (exact, tie-quota'd)."""
+def _destinations_sorted(tw_s, splitters, below, n_shard, d, axis):
+    """Bucket starts/counts for a LOCALLY SORTED shard (exact tie quotas).
+
+    Sorting first makes every tie run contiguous: rank-within-value is
+    position minus run start (one cummax scan), destinations are monotone
+    by construction, and bucket boundaries come from a (d,)-sized
+    searchsorted — O(n log d) total, no per-splitter passes and no (n, d)
+    one-hot.  An element ties at most one splitter GROUP (equal splitters
+    share a value; ``tie_idx = gt`` points at the group's first slot, and
+    ``below + global tie rank`` spreads the group's value across its full
+    span of shards).
+    """
     nb = d - 1
     r = jax.lax.axis_index(axis)
-    # non-tie destination: number of splitters strictly below the key
-    gt = (tw[:, None] > splitters[None, :]).sum(1, dtype=jnp.int32)
+    n = tw_s.shape[0]
+    gt = jnp.searchsorted(splitters, tw_s, side="left").astype(jnp.int32)
+    ge = jnp.searchsorted(splitters, tw_s, side="right").astype(jnp.int32)
+    is_tie = ge > gt
+    tie_idx = jnp.clip(gt, 0, nb - 1)
 
-    # tie handling: global tie rank within each splitter's equal-run
-    dest = gt
-    is_tie_done = jnp.zeros(tw.shape, bool)
-    for b in range(nb):
-        mask = tw == splitters[b]
-        t_local = mask.sum(dtype=jnp.int32)
-        t_all = jax.lax.all_gather(t_local, axis)           # (D,)
-        p_r = jnp.where(jnp.arange(d) < r, t_all, 0).sum(dtype=jnp.int32)
-        j = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        g = p_r + j
-        dest_tie = (below[b] + g) // n_shard
-        take = mask & ~is_tie_done
-        dest = jnp.where(take, dest_tie, dest)
-        is_tie_done = is_tie_done | mask
-    return jnp.clip(dest, 0, d - 1)
+    # local tie counts per splitter group (stored at the group's first slot)
+    ssl = jnp.searchsorted(tw_s, splitters, side="left").astype(jnp.int32)
+    ssr = jnp.searchsorted(tw_s, splitters, side="right").astype(jnp.int32)
+    first_of_group = jnp.concatenate(
+        [jnp.ones((1,), bool), splitters[1:] != splitters[:-1]]
+    )
+    t_local = jnp.where(first_of_group, ssr - ssl, 0)
+    t_all = jax.lax.all_gather(t_local, axis)                # (D, nb)
+    p_r = jnp.where(
+        (jnp.arange(d) < r)[:, None], t_all, 0
+    ).sum(0, dtype=jnp.int32)                                # (nb,)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    neq = jnp.concatenate([jnp.ones((1,), bool), tw_s[1:] != tw_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(neq, idx, 0))
+    j = idx - run_start                                      # tie rank
+
+    dest_tie = (below[tie_idx] + p_r[tie_idx] + j) // n_shard
+    dest = jnp.clip(jnp.where(is_tie, dest_tie, gt), 0, d - 1)
+    starts = jnp.searchsorted(dest, jnp.arange(d), side="left").astype(
+        jnp.int32
+    )
+    counts = jnp.concatenate(
+        [starts[1:], jnp.asarray([n], jnp.int32)]
+    ) - starts
+    return starts, counts
 
 
 def _global_sort_shard(
@@ -106,29 +130,45 @@ def _global_sort_shard(
     """Per-shard body (runs under shard_map). ops = planes + values, u32."""
     tw = ops[0]
     splitters, below = _select_splitters(tw, n_shard, d, axis)
-    dest = _destinations(tw, splitters, below, n_shard, d, axis)
 
-    # local bucket partition: stable sort by (dest | idx), then pad runs.
-    # The sortkey is unique by construction (idx field), so the engine's
-    # unstable raw-key pairs path applies and its 0xFFFFFFFF sentinel
-    # pre-check can never fire (dest < D, idx < n_shard).
-    counts = (dest[:, None] == jnp.arange(d)[None, :]).sum(0, dtype=jnp.int32)
-    starts = jnp.cumsum(counts) - counts
-    idx_bits = max(n_shard.bit_length(), 1)
-    sortkey = (dest.astype(jnp.uint32) << jnp.uint32(idx_bits)) | jnp.arange(
-        n_shard, dtype=jnp.uint32
-    )
+    # local sort BY KEY first (the engine's cheapest path), so splitter
+    # buckets are contiguous runs and tie ranks are positional — this
+    # replaces the former (dest | idx)-sortkey sort + per-splitter cumsum
+    # loop + (n, d) one-hot counts.
     from tpusort.ops.msd import sort_twiddled_msd
 
-    _, sorted_ops = sort_twiddled_msd(
-        (sortkey,), tuple(ops), begin_bit=0, end_bit=32, total_bits=32,
-        stable=False,
+    if len(ops) == 1:
+        (tw_s,), _ = sort_twiddled_msd(
+            (tw,), (), begin_bit=0, end_bit=32, total_bits=32,
+            skew_tier=False,
+        )
+        sorted_ops = [tw_s]
+    else:
+        # pairs ride the unstable raw path (global pair semantics are
+        # unstable anyway; the engine pre-checks its 0xFFFFFFFF sentinel)
+        sp, sv = sort_twiddled_msd(
+            (tw,), tuple(ops[1:]), begin_bit=0, end_bit=32, total_bits=32,
+            stable=False, skew_tier=False,
+        )
+        tw_s = sp[0]
+        sorted_ops = [tw_s] + list(sv)
+    starts, counts = _destinations_sorted(
+        tw_s, splitters, below, n_shard, d, axis
     )
-    sorted_ops = list(sorted_ops)
-    gidx = jnp.minimum(
-        starts[:, None] + jnp.arange(capacity)[None, :], n_shard - 1
-    ).reshape(-1)
-    send = [o[gidx].reshape(d, capacity) for o in sorted_ops]
+    # padded-run expansion via d contiguous dynamic slices (a flat gather
+    # here costs ~30x HBM bandwidth on TPU; slices are plain copies).  The
+    # capacity tail pad keeps every slice in-bounds so runs stay at the
+    # front of their window (positional validity on the receive side).
+    def _expand(o):
+        opad = jnp.concatenate([o, jnp.zeros((capacity,), o.dtype)])
+        return jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(opad, starts[b], capacity)
+                for b in range(d)
+            ]
+        )
+
+    send = [_expand(o) for o in sorted_ops]
 
     # exchange padded blocks + counts
     recv = [
