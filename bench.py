@@ -82,7 +82,38 @@ def main():
         z = (z ^ (z >> jnp.uint32(16))) * jnp.uint32(0x45D9F3B)
         return z ^ (z >> jnp.uint32(16))
 
-    if args.pairs:
+    big_flag_mode = (
+        not args.pairs
+        and gen_inside
+        and args.algorithm in ("auto", "msd", "lsd")
+    )
+    if big_flag_mode:
+        # >2^29: the in-graph cond fallback would reserve the reference
+        # sort's workspace on top of the pipeline (OOM); flag mode runs the
+        # full pipeline and the HOST owns the fallback decision.  Keys are
+        # generated in-graph so the pipeline's pass buffers are the only
+        # big live set.
+        from tpusort import dtypes as _td
+        from tpusort.ops.msd import sort_twiddled_msd as _msd_sort
+
+        def fn(seed):
+            k = _hash_keys(seed)
+            planes, traits = _td.twiddle_in(k)
+            sp, _, ovf = _msd_sort(
+                planes, (), begin_bit=0, end_bit=32, total_bits=32,
+                on_overflow="flag",
+            )
+            return _td.twiddle_out(sp, traits, dtype=k.dtype), ovf
+
+        jfn = jax.jit(fn)
+        dt = _time(jfn, 0, iters=args.iters) - overhead
+        if bool(jfn(0)[1]):
+            # pathological distribution: report the honest exact path
+            ref = jax.jit(lambda s: tpusort.sort(
+                _hash_keys(s), algorithm="reference"))
+            dt = _time(ref, 0, iters=args.iters) - overhead
+        metric = "keys_per_sec_per_chip"
+    elif args.pairs:
         if gen_inside:
             def fn(seed):
                 k = _hash_keys(seed)

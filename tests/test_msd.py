@@ -309,3 +309,35 @@ def test_msd_raw_u64_pairs_unstable_interpret():
     got_pairs = sorted(zip(gk.tolist(), np.asarray(sv[0]).tolist()))
     want_pairs = sorted(zip(kk.tolist(), np.asarray(vals).tolist()))
     assert got_pairs == want_pairs
+
+
+def test_msd_overflow_flag_mode():
+    """on_overflow='flag': no in-graph cond; the caller owns the fallback.
+    Uniform keys -> flag False and output exact; constant keys -> flag
+    True (output then invalid by contract)."""
+    import jax
+    from tpusort import dtypes as td
+    from tpusort.ops import msd as _m
+    from tpusort.utils import datagen
+    from oracle import np_sort_oracle
+    import numpy as np
+
+    n = 200_000
+    keys = datagen.random_keys(jax.random.key(5), n, "uint32")
+    planes, traits = td.twiddle_in(keys)
+    sp, sv, ovf = _m.sort_twiddled_msd(
+        planes, (), begin_bit=0, end_bit=32, total_bits=32,
+        on_overflow="flag",
+    )
+    assert not bool(ovf)
+    got = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np_sort_oracle(np.asarray(keys)))
+
+    const = datagen.entropy_keys(jax.random.key(6), n, 0, "uint32")
+    planes_c, _ = td.twiddle_in(const)
+    _, _, ovf_c = _m.sort_twiddled_msd(
+        planes_c, (), begin_bit=0, end_bit=32, total_bits=32,
+        on_overflow="flag",
+    )
+    assert bool(ovf_c)

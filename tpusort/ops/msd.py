@@ -473,7 +473,8 @@ def sort_twiddled_msd(
     plan_kwargs: Optional[dict] = None,
     stable: bool = True,
     skew_tier: Optional[bool] = None,
-) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    on_overflow: str = "cond",
+):
     """MSD hybrid engine entry (engine-registry signature).
 
     ``stable=False`` enables the unstable raw-key pairs fast path (the
@@ -493,7 +494,14 @@ def sort_twiddled_msd(
     path's static capacities overflow.  Disabled above 2^28 (the nested
     branch workspace reservation would exceed HBM) and inside the skew
     tier's own sampling sort (no recursive tiers).
+
+    ``on_overflow="flag"``: skip the in-graph ``lax.cond`` fallback and
+    return ``(planes, values, overflow)`` instead — the caller owns the
+    fallback decision (host-side re-sort, error, retry).  This removes
+    the fallback branch's workspace RESERVATION, which is what caps the
+    in-graph engine at 2^29 keys on a 16 GB chip: flag mode runs 2^30.
     """
+    flag_mode = on_overflow == "flag"
     n = planes[0].shape[0]
     kwargs = dict(plan_kwargs or {})
     min_n = kwargs.pop("min_n", 1 << 16)
@@ -502,6 +510,12 @@ def sort_twiddled_msd(
         plan = plan_msd(n, begin_bit, end_bit, **kwargs)
     if any(jnp.dtype(v.dtype).itemsize != 4 for v in values):
         plan = None  # non-32-bit payloads: delegate (API splits 64-bit later)
+    if plan is not None and not flag_mode and n > (1 << 29):
+        # the cond fallback branch would RESERVE the reference sort's
+        # workspace on top of the pipeline's live set (> HBM above 2^29);
+        # in-graph callers get the reference path, flag-mode callers the
+        # full pipeline
+        plan = None
     if plan is None:
         if (
             (use_pallas if use_pallas is not None
@@ -513,14 +527,16 @@ def sort_twiddled_msd(
             # dispatch_radix_sort.cuh:834-875)
             from tpusort.ops.small import sort_twiddled_bitonic
 
-            return sort_twiddled_bitonic(
+            sp, sv = sort_twiddled_bitonic(
                 planes, values, begin_bit=begin_bit, end_bit=end_bit,
                 total_bits=total_bits,
             )
-        return sort_twiddled_reference(
-            planes, values, begin_bit=begin_bit, end_bit=end_bit,
-            total_bits=total_bits,
-        )
+        else:
+            sp, sv = sort_twiddled_reference(
+                planes, values, begin_bit=begin_bit, end_bit=end_bit,
+                total_bits=total_bits,
+            )
+        return (sp, sv, jnp.asarray(False)) if flag_mode else (sp, sv)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
@@ -540,12 +556,14 @@ def sort_twiddled_msd(
         # path and shares all raw-path machinery (merge networks, network
         # leaf).
         gidx = jnp.arange(n, dtype=jnp.uint32)
-        sp, sv = sort_twiddled_msd(
+        res = sort_twiddled_msd(
             (planes[0], gidx), values, begin_bit=0, end_bit=64,
             total_bits=64, use_pallas=use_pallas, plan_kwargs=plan_kwargs,
-            stable=False,
+            stable=False, on_overflow=on_overflow,
         )
-        return (sp[0],), sv
+        if flag_mode:
+            return ((res[0][0],), res[1], res[2])
+        return (res[0][0],), res[1]
     # 32-bit word split for payloads is handled at the API layer; here all
     # operands are uint32.
     ops = [jnp.pad(p, (0, plan.m1 - n)) for p in planes]
@@ -653,12 +671,15 @@ def sort_twiddled_msd(
     def _ok(_):
         return ops
 
-    ops = jax.lax.cond(overflow, _fallback, _ok, None)
+    if not flag_mode:
+        ops = jax.lax.cond(overflow, _fallback, _ok, None)
 
     out_planes = tuple(ops[:nplanes])
     out_values = tuple(
         o.view(jnp.asarray(v).dtype) for o, v in zip(ops[nplanes:], values)
     )
+    if flag_mode:
+        return out_planes, out_values, overflow
     return out_planes, out_values
 
 
