@@ -40,11 +40,16 @@ def _assert_bitwise_equal(got, want, msg=""):
         raise AssertionError(f"{msg} first byte mismatch at {bad[:10]}")
 
 
-ALGORITHMS = ["reference"]
+# Engines with exact sorted-keys output (bitonic/msd_unstable reorder only
+# equal-key payloads; msd_equidepth is keys-only and exercised separately —
+# its CPU path runs Pallas in interpret mode, too slow for the full matrix).
+KEYS_ALGORITHMS = ["reference", "msd", "msd_unstable", "bitonic"]
+# Engines with stable (position-preserving) pair semantics.
+STABLE_ALGORITHMS = ["reference", "msd"]
 
 
-def engines():
-    return [a for a in ALGORITHMS if a in tpusort.available_engines()]
+def engines(names=KEYS_ALGORITHMS):
+    return [a for a in names if a in tpusort.available_engines()]
 
 
 @pytest.mark.parametrize("algorithm", engines())
@@ -77,7 +82,7 @@ def test_sort_descending(algorithm, dtype):
     _assert_bitwise_equal(got, want, f"{algorithm}/{dtype}/desc")
 
 
-@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("algorithm", engines(STABLE_ALGORITHMS))
 @pytest.mark.parametrize("dtype,begin,end", [
     ("uint32", 0, 16),
     ("uint32", 8, 24),
@@ -98,7 +103,7 @@ def test_bit_range_subsort(algorithm, dtype, begin, end):
     np.testing.assert_array_equal(np.asarray(gv), wv)
 
 
-@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("algorithm", engines(STABLE_ALGORITHMS))
 @pytest.mark.parametrize("dtype", ["uint32", "uint64", "float32"])
 @pytest.mark.parametrize("entropy", [1, 3, 0])
 def test_sort_pairs_stable(algorithm, dtype, entropy):
@@ -127,7 +132,7 @@ def test_sort_pairs_permutation_checksum(algorithm):
     np.testing.assert_array_equal(orig[gv], gk)
 
 
-@pytest.mark.parametrize("algorithm", engines())
+@pytest.mark.parametrize("algorithm", engines(STABLE_ALGORITHMS))
 def test_multi_payload(algorithm):
     n = 4096
     keys = _gen("uint32", n, 1)
@@ -138,6 +143,19 @@ def test_multi_payload(algorithm):
     _assert_bitwise_equal(gk, wk)
     np.testing.assert_array_equal(np.asarray(g1), w1)
     np.testing.assert_array_equal(np.asarray(g2), np.asarray(v2)[w1])
+
+
+@pytest.mark.parametrize("algorithm", engines(["reference", "msd"]))
+@pytest.mark.parametrize("entropy", list(range(1, 12)) + [0])
+def test_entropy_ladder_full(algorithm, entropy):
+    """The reference's full entropy ladder {1..11, 0} (AND of k uniform
+    draws; 0 = constant zeros — ``test_sort_keys.cu:126``,
+    ``data_gen.h:55-70``), through the public API."""
+    n = 20000
+    keys = _gen("uint32", n, entropy, seed=entropy)
+    got = tpusort.sort(keys, algorithm=algorithm)
+    want = np_sort_oracle(np.asarray(keys))
+    _assert_bitwise_equal(got, want, f"{algorithm}/entropy={entropy}")
 
 
 def test_argsort():

@@ -137,6 +137,7 @@ def _normalize_values(values) -> Tuple[Tuple[jax.Array, ...], bool, bool]:
         "algorithm",
         "dimension",
         "stable",
+        "cfg",
     ),
 )
 def _sort_impl(
@@ -149,6 +150,7 @@ def _sort_impl(
     algorithm: str,
     dimension: int,
     stable: bool = True,
+    cfg: Optional[_configs.SortConfig] = None,
 ):
     if dimension != 0 or keys.ndim != 1:
         raise NotImplementedError("tpusort currently sorts 1-D arrays")
@@ -157,7 +159,8 @@ def _sort_impl(
     eb = total_bits if end_bit is None else end_bit
     if not (0 <= begin_bit < eb <= total_bits):
         raise ValueError(f"invalid bit range [{begin_bit}, {eb}) for {traits.name}")
-    cfg = _configs.get_config(total_bits, bool(values_tuple))
+    if cfg is None:
+        cfg = _configs.get_config(total_bits, bool(values_tuple))
     if not stable and algorithm in ("auto", "msd", "lsd") and \
             "msd_unstable" in _ENGINES:
         algorithm = "msd_unstable"
@@ -168,6 +171,7 @@ def _sort_impl(
         begin_bit=begin_bit,
         end_bit=eb,
         total_bits=total_bits,
+        config=cfg,
     )
     out_keys = _dtypes.twiddle_out(
         sorted_planes, traits, descending=descending, dtype=keys.dtype
@@ -197,6 +201,10 @@ def sort(
     given.
     """
     vt, had, single = _normalize_values(values)
+    # resolve the tuning config OUTSIDE the jit boundary (it is a static
+    # argument): registry updates then retrace instead of being shadowed by
+    # the trace cache
+    cfg = _configs.get_config(_dtypes.key_bits(keys.dtype), had)
     out_keys, out_vals = _sort_impl(
         keys,
         vt,
@@ -206,6 +214,7 @@ def sort(
         algorithm=algorithm,
         dimension=0,
         stable=stable,
+        cfg=cfg,
     )
     if not had:
         return out_keys
@@ -263,10 +272,10 @@ def unstable_sort_keys(keys, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("key_dtype", "descending", "begin_bit", "end_bit",
-                     "algorithm", "stable"),
+                     "algorithm", "stable", "cfg"),
 )
 def _sort_planes_impl(planes, values_tuple, *, key_dtype, descending,
-                      begin_bit, end_bit, algorithm, stable):
+                      begin_bit, end_bit, algorithm, stable, cfg=None):
     traits = _dtypes.traits_for(key_dtype)
     if len(planes) != traits.planes:
         raise ValueError(
@@ -281,14 +290,15 @@ def _sort_planes_impl(planes, values_tuple, *, key_dtype, descending,
     eb = total_bits if end_bit is None else end_bit
     if not (0 <= begin_bit < eb <= total_bits):
         raise ValueError(f"invalid bit range [{begin_bit}, {eb})")
-    cfg = _configs.get_config(total_bits, bool(values_tuple))
+    if cfg is None:
+        cfg = _configs.get_config(total_bits, bool(values_tuple))
     if not stable and algorithm in ("auto", "msd", "lsd") and \
             "msd_unstable" in _ENGINES:
         algorithm = "msd_unstable"
     engine = _resolve_engine(algorithm, cfg)
     sp, sv = engine(
         tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
-        total_bits=total_bits,
+        total_bits=total_bits, config=cfg,
     )
     out = _dtypes.twiddle_planes_out(sp, traits, descending=descending)
     return tuple(out), sv
@@ -318,10 +328,13 @@ def sort_planes(
     (``msb/src/sort/gpu_radix_sort.h:190-205``).
     """
     vt, had, single = _normalize_values(values)
+    cfg = _configs.get_config(
+        _dtypes.traits_for(key_dtype).bits, had
+    )
     out_planes, out_vals = _sort_planes_impl(
         tuple(planes), vt, key_dtype=key_dtype, descending=descending,
         begin_bit=begin_bit, end_bit=end_bit, algorithm=algorithm,
-        stable=stable,
+        stable=stable, cfg=cfg,
     )
     if not had:
         return out_planes

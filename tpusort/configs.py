@@ -9,11 +9,13 @@ TPU-native analog of the reference's two config layers:
   TPB/KPT tables plus runtime local-sort kernel registries
   (``msb/src/sort/gpu_sort_config.h:146-336``).
 
-Here the tunables are the knobs that matter on TPU: radix width per pass,
-tile size (the VMEM-resident unit of the local phase), padded sub-bucket
-capacity factor for the digit-major exchange, and algorithm-selection
-thresholds.  Configs are keyed by (key_bits, has_values, platform) and can
-be overridden per call.
+Here the tunables are the knobs that actually steer the TPU engines: the
+MSD planner geometry (tile size K, radix R, pass-1 padded capacity S1,
+leaf segment bound), the delegation thresholds, and the skew-tier sample
+size.  Configs are keyed by (key_bits, has_values, platform); every field
+is consumed — ``SortConfig.plan_kwargs()`` feeds ``ops.msd.plan_msd``
+directly, so changing a registered config changes the compiled pass plan
+(pinned by ``tests/test_configs.py``).
 """
 
 from __future__ import annotations
@@ -26,18 +28,30 @@ __all__ = ["SortConfig", "get_config", "register_config"]
 
 @dataclass(frozen=True)
 class SortConfig:
-    # --- LSD engine ---
-    radix_bits: int = 8            # digit width per pass
-    tile_elems: int = 2048         # keys per tile in the local phase (VMEM unit)
-    pad_factor: float = 2.0        # padded (tile,digit) capacity = pad*tile/R
+    # --- MSD/LSD engine plan geometry (ops.msd.plan_msd kwargs; the
+    #     TPB/KPT analog) ---
+    tile_elems: int = 1 << 14      # K: elements per VMEM tile
+    radix: int = 32                # R: runs per tile (digit fan-out)
+    s1: Optional[int] = None       # pass-1 padded run capacity (None = auto)
+    leaf_max: Optional[int] = None # max final segment size (None = auto)
+    min_n: int = 1 << 16           # below this the engine delegates
     # --- small-problem fast path (analog of CUB InvokeSingleTile,
     #     dispatch_radix_sort.cuh:834-875) ---
-    small_n_threshold: int = 4096
-    # --- MSD hybrid engine ---
-    msd_radix_bits: int = 8
-    msd_leaf_elems: int = 16384    # buckets at/below this finish with a leaf sort
+    small_n_threshold: int = 1 << 14
+    # --- adaptive skew tier (equi-depth splitter engine) ---
+    skew_tier: Optional[bool] = None      # None = engine's auto gate
+    skew_sample_log2: Optional[int] = None  # splitter sample size (None = auto)
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"
+
+    def plan_kwargs(self) -> dict:
+        """The ``plan_msd`` keyword arguments this config pins."""
+        kw = dict(k=self.tile_elems, r=self.radix, min_n=self.min_n)
+        if self.s1 is not None:
+            kw["s1"] = self.s1
+        if self.leaf_max is not None:
+            kw["leaf_max"] = self.leaf_max
+        return kw
 
 
 _REGISTRY: Dict[Tuple[int, bool, str], SortConfig] = {}
@@ -63,18 +77,17 @@ def get_config(
     return SortConfig()
 
 
-# Defaults. TPU tiles are sized so the local phase (keys + values + digit
-# scratch) stays comfortably VMEM-resident; CPU (test) tiles are smaller to
-# keep the 8-virtual-device test mesh fast.
-register_config(32, False, "tpu", SortConfig(radix_bits=8, tile_elems=4096,
-                                              default_algorithm="msd"))
-register_config(32, True, "tpu", SortConfig(radix_bits=8, tile_elems=4096,
-                                             default_algorithm="msd"))
-register_config(64, False, "tpu", SortConfig(radix_bits=8, tile_elems=2048,
-                                              default_algorithm="msd"))
-register_config(64, True, "tpu", SortConfig(radix_bits=8, tile_elems=2048,
-                                             default_algorithm="msd"))
-register_config(32, False, "cpu", SortConfig(radix_bits=8, tile_elems=1024))
-register_config(32, True, "cpu", SortConfig(radix_bits=8, tile_elems=1024))
-register_config(64, False, "cpu", SortConfig(radix_bits=8, tile_elems=1024))
-register_config(64, True, "cpu", SortConfig(radix_bits=8, tile_elems=1024))
+# Defaults, measured on v5e (DESIGN.md): K=16384/R=32 keeps the bitonic
+# partition tiles VMEM-resident with batch 4-8; 64-bit (2-plane) keys halve
+# the operand budget but keep the same plan geometry.  CPU (test) configs
+# use small tiles and a low min_n so the full pass pipelines execute at CI
+# problem sizes through the public API.
+register_config(32, False, "tpu", SortConfig(default_algorithm="msd"))
+register_config(32, True, "tpu", SortConfig(default_algorithm="msd"))
+register_config(64, False, "tpu", SortConfig(default_algorithm="msd"))
+register_config(64, True, "tpu", SortConfig(default_algorithm="msd"))
+_CPU = SortConfig(tile_elems=2048, radix=16, s1=256, min_n=4096,
+                  small_n_threshold=2048)
+for _bits in (32, 64):
+    for _hv in (False, True):
+        register_config(_bits, _hv, "cpu", _CPU)

@@ -363,9 +363,14 @@ def sort_twiddled_equidepth(
     total_bits: int,
     use_pallas: Optional[bool] = None,
     plan_kwargs: Optional[dict] = None,
+    config=None,
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Engine-registry entry (keys-only; delegates otherwise)."""
     n = planes[0].shape[0]
+    if plan_kwargs is None and config is not None:
+        plan_kwargs = config.plan_kwargs()
+        if config.skew_sample_log2 is not None:
+            plan_kwargs["sample_log2"] = config.skew_sample_log2
     kwargs, min_n, sample_log2, m_sample, leaf_max = _prepare(n, plan_kwargs)
     if not supports(len(planes), len(values), begin_bit, end_bit,
                     total_bits) or n < min_n:

@@ -20,14 +20,55 @@ __all__ = ["histogram_even", "digit_histogram"]
 def histogram_even(
     x: jax.Array, num_bins: int, lo, hi, *, dtype=jnp.int32
 ) -> jax.Array:
-    """Counts of x in num_bins equal-width bins spanning [lo, hi)."""
-    xf = x.astype(jnp.float32)
-    width = (jnp.float32(hi) - jnp.float32(lo)) / num_bins
-    bin_ = jnp.floor((xf - jnp.float32(lo)) / width).astype(jnp.int32)
-    in_range = (x >= lo) & (x < hi)
-    bin_ = jnp.where(in_range, jnp.clip(bin_, 0, num_bins - 1), num_bins)
-    oh = bin_[:, None] == jnp.arange(num_bins + 1, dtype=jnp.int32)
-    return oh.sum(axis=0, dtype=dtype)[:num_bins]
+    """Counts of x in num_bins equal-width bins spanning [lo, hi).
+
+    ``lo``/``hi`` are host scalars (the reference's ``LevelT`` arguments,
+    ``lsb/cub/cub/device/device_histogram.cuh`` HistogramEven).  Bin edges
+    are computed host-side with exact rational arithmetic and compared
+    directly against ``x`` — never through a float divide — so boundary
+    values bin exactly even for full-range 32-bit inputs (a float32
+    ``(x - lo) / width`` misbins keys above 2^24).
+    """
+    from fractions import Fraction
+
+    import numpy as np
+
+    if num_bins <= 0:
+        raise ValueError("num_bins must be positive")
+    xdt = np.dtype(x.dtype)
+    span = Fraction(hi) - Fraction(lo)
+    is_int = np.issubdtype(xdt, np.integer)
+    info = np.iinfo(xdt) if is_int else np.finfo(np.float32)
+
+    def _edge(j: int):
+        """Smallest representable value of x's dtype inside bin j (the
+        exact edge lo + j*span/num_bins, rounded up to the dtype grid)."""
+        e = Fraction(lo) + Fraction(j) * span / num_bins
+        if is_int:
+            v = -((-e.numerator) // e.denominator)  # ceil
+            return int(np.clip(v, int(info.min), int(info.max) + 1))
+        t = np.float32(float(e))
+        if Fraction(float(t)) < e:
+            t = np.nextafter(t, np.float32(np.inf), dtype=np.float32)
+        return t
+
+    # count_ge[j] = #(x >= edge_j); bin j's count = count_ge[j] -
+    # count_ge[j+1], with x < hi enforced by the exact top edge (x < hi is
+    # equivalent to x < edge(num_bins) on the dtype grid).
+    edges = [_edge(j) for j in range(num_bins + 1)]
+    if is_int and Fraction(hi) > int(info.max):
+        in_hi = jnp.ones(x.shape, bool)
+    else:
+        in_hi = x < jnp.asarray(edges[num_bins], x.dtype)
+    ge = []
+    for j, e in enumerate(edges):
+        if is_int and e > int(info.max):
+            ge.append(jnp.zeros((), dtype))
+        else:
+            cmp = (x >= jnp.asarray(e, x.dtype)) & in_hi
+            ge.append(cmp.sum(dtype=dtype))
+    counts = jnp.stack([ge[j] - ge[j + 1] for j in range(num_bins)])
+    return counts
 
 
 def digit_histogram(

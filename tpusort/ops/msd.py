@@ -474,6 +474,7 @@ def sort_twiddled_msd(
     stable: bool = True,
     skew_tier: Optional[bool] = None,
     on_overflow: str = "cond",
+    config=None,
 ):
     """MSD hybrid engine entry (engine-registry signature).
 
@@ -503,6 +504,15 @@ def sort_twiddled_msd(
     """
     flag_mode = on_overflow == "flag"
     n = planes[0].shape[0]
+    if plan_kwargs is None and config is not None:
+        # the registered tuning config steers the planner (the reference's
+        # RadixSortConfig TPB/KPT analog, gpu_sort_config.h:146-207)
+        plan_kwargs = config.plan_kwargs()
+    if skew_tier is None and config is not None:
+        skew_tier = config.skew_tier
+    single_tile_max = (
+        config.small_n_threshold if config is not None else 1 << 14
+    )
     kwargs = dict(plan_kwargs or {})
     min_n = kwargs.pop("min_n", 1 << 16)
     plan = None
@@ -520,7 +530,7 @@ def sort_twiddled_msd(
         if (
             (use_pallas if use_pallas is not None
              else jax.default_backend() == "tpu")
-            and n + ((-n) % 128) <= (1 << 14)
+            and n + ((-n) % 128) <= min(single_tile_max, 1 << 14)
             and (not values or not stable)
         ):
             # single-tile fast path (CUB InvokeSingleTile analog,
@@ -559,7 +569,7 @@ def sort_twiddled_msd(
         res = sort_twiddled_msd(
             (planes[0], gidx), values, begin_bit=0, end_bit=64,
             total_bits=64, use_pallas=use_pallas, plan_kwargs=plan_kwargs,
-            stable=False, on_overflow=on_overflow,
+            stable=False, on_overflow=on_overflow, config=config,
         )
         if flag_mode:
             return ((res[0][0],), res[1], res[2])

@@ -54,8 +54,12 @@ def sort_twiddled_reference(
     begin_bit: int,
     end_bit: int,
     total_bits: int,
+    config=None,
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
-    """Stable ascending sort of twiddled uint32 plane(s) + payloads."""
+    """Stable ascending sort of twiddled uint32 plane(s) + payloads.
+
+    ``config`` is accepted for engine-registry signature parity and ignored
+    (the XLA sort has no tunables)."""
     operands = list(_mask_plane_bits(planes, begin_bit, end_bit, total_bits))
     # carry the original (unmasked) planes and all payloads through the sort
     carried = list(planes) + list(values)

@@ -33,14 +33,19 @@ def sort_twiddled_bitonic(
     begin_bit: int,
     end_bit: int,
     total_bits: int,
+    config=None,
 ):
     n = planes[0].shape[0]
     pad = (-n) % 128
+    tile_max = min(
+        config.small_n_threshold if config is not None else _MAX_SINGLE_TILE,
+        _MAX_SINGLE_TILE,
+    )
     delegate = (
         len(planes) != 1
         or begin_bit != 0
         or end_bit != total_bits
-        or n + pad > _MAX_SINGLE_TILE
+        or n + pad > tile_max
         or any(jnp.dtype(v.dtype).itemsize != 4 for v in values)
         or (pad and values)  # pad sentinels tie with genuine max-key pairs
     )
