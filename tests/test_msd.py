@@ -157,6 +157,7 @@ def test_msd_nonuniform_tail():
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+@pytest.mark.slow
 def test_msd_pallas_interpret_keys_only():
     """Keys-only fused fast path (1-operand raw-key network, garbage
     rewritten to 0xFFFFFFFF, raw-key leaf) — interpret mode on CPU."""
@@ -172,6 +173,7 @@ def test_msd_pallas_interpret_keys_only():
     np.testing.assert_array_equal(np.asarray(gk), want)
 
 
+@pytest.mark.slow
 def test_msd_pallas_interpret_keys_dupes():
     """Keys-only fast path under heavy duplicates incl. 0xFFFFFFFF ties with
     garbage slots (the multiset-exactness argument)."""
@@ -203,6 +205,7 @@ def test_msd_pallas_no_false_fallback():
     assert not bool(overflow), "overflow fallback fired on uniform input"
 
 
+@pytest.mark.slow
 def test_msd_pallas_interpret():
     """The Pallas partition + leaf kernels (interpret mode on CPU) must
     produce the same exact output as the XLA path."""
@@ -220,6 +223,7 @@ def test_msd_pallas_interpret():
     np.testing.assert_array_equal(np.asarray(sv[0]), wv)
 
 
+@pytest.mark.slow
 def test_msd_unstable_pairs_interpret():
     """Unstable raw-key pairs fast path: keys exact, (key, value) multiset
     preserved (reference rdxsrt_unstable_sort_pairs semantics)."""
@@ -241,6 +245,7 @@ def test_msd_unstable_pairs_interpret():
     assert got_pairs == want_pairs
 
 
+@pytest.mark.slow
 def test_msd_unstable_pairs_sentinel_collision():
     """Valid 0xFFFFFFFF keys + unstable pairs must take the exact fallback."""
     n = 20_000
@@ -276,6 +281,7 @@ def test_api_unstable_entry_points():
     np.testing.assert_array_equal(np.asarray(gk2), np.sort(np.asarray(keys)))
 
 
+@pytest.mark.slow
 def test_msd_raw_u64_planes_interpret():
     """Two-plane raw fast path (lexicographic (hi, lo) comparator)."""
     n = 21_000
@@ -292,6 +298,7 @@ def test_msd_raw_u64_planes_interpret():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_msd_raw_u64_pairs_unstable_interpret():
     n = 20_000
     hi = datagen.entropy_keys(jax.random.key(24), n, 2, "uint32")

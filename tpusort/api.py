@@ -179,6 +179,106 @@ def _sort_impl(
     return out_keys, sorted_values
 
 
+# ---------------------------------------------------------------------------
+# Host-owned tiering (the reference's CPU-in-the-loop planner analog,
+# ``msb/src/sort/gpu_radix_sort.cu:29-104``: the host reads a tiny flag and
+# decides the next kernel).  The radix engine runs in flag mode — no
+# in-graph lax.cond fallback, hence no fallback-workspace RESERVATION (the
+# thing that capped the in-graph engine at 2^29 keys and gated the skew
+# tier to n < 2^28).  On overflow the host re-dispatches: equi-depth
+# splitter tier, then the exact reference sort.
+# ---------------------------------------------------------------------------
+
+_TIERED_ALGOS = ("msd", "lsd", "msd_unstable")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("descending", "begin_bit", "end_bit", "tier",
+                     "stable", "cfg"),
+)
+def _sort_tier_impl(
+    keys,
+    values_tuple,
+    *,
+    descending: bool,
+    begin_bit: int,
+    end_bit: Optional[int],
+    tier: str,
+    stable: bool,
+    cfg: _configs.SortConfig,
+):
+    from tpusort.ops.equidepth import sort_twiddled_equidepth
+    from tpusort.ops.msd import sort_twiddled_msd
+
+    planes, traits = _dtypes.twiddle_in(keys, descending=descending)
+    total_bits = traits.bits
+    eb = total_bits if end_bit is None else end_bit
+    ovf = jnp.asarray(False)
+    if tier == "radix":
+        sp, sv, ovf = sort_twiddled_msd(
+            planes, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits, stable=stable, on_overflow="flag",
+            skew_tier=False, config=cfg,
+        )
+    elif tier == "equidepth":
+        sp, sv, ovf = sort_twiddled_equidepth(
+            planes, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits, stable=stable, on_overflow="flag",
+            config=cfg,
+        )
+    else:
+        sp, sv = sort_twiddled_reference(
+            planes, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits,
+        )
+    out_keys = _dtypes.twiddle_out(
+        sp, traits, descending=descending, dtype=keys.dtype
+    )
+    return out_keys, sv, ovf
+
+
+def _tier_chain(cfg) -> Tuple[str, ...]:
+    """Fallback tiers after the radix engine.  The equi-depth tier runs by
+    default on TPU; elsewhere (CPU tests run Pallas in interpret mode,
+    ~100x slow) it needs the config's explicit ``skew_tier=True``."""
+    use_eq = cfg.skew_tier
+    if use_eq is None:
+        use_eq = jax.default_backend() == "tpu"
+    return ("radix", "equidepth", "exact") if use_eq else ("radix", "exact")
+
+
+def _run_tier_chain(impl, args, kw, cfg):
+    tiers = _tier_chain(cfg)
+    out_k = out_v = None
+    for i, tier in enumerate(tiers):
+        if out_k is not None:
+            del out_k, out_v      # free the overflowed tier's garbage
+        out_k, out_v, ovf = impl(*args, tier=tier, **kw)
+        if i == len(tiers) - 1 or not bool(ovf):
+            break
+    return out_k, out_v
+
+
+def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
+                      cfg):
+    kw = dict(descending=descending, begin_bit=begin_bit, end_bit=end_bit,
+              stable=stable, cfg=cfg)
+    return _run_tier_chain(_sort_tier_impl, (keys, vt), kw, cfg)
+
+
+def _host_tiered_applicable(keys, values_tuple, algorithm, cfg) -> bool:
+    """Host tiering needs a concrete (non-traced) input — inside a user's
+    jit the in-graph lax.cond fallback applies instead — and one of the
+    radix engines."""
+    if isinstance(keys, jax.core.Tracer):
+        return False
+    algo = cfg.default_algorithm if algorithm == "auto" else algorithm
+    if algo not in _TIERED_ALGOS:
+        return False
+    return not any(isinstance(v, jax.core.Tracer) for v in values_tuple)
+
+
 def sort(
     keys: jax.Array,
     values=None,
@@ -205,6 +305,15 @@ def sort(
     # argument): registry updates then retrace instead of being shadowed by
     # the trace cache
     cfg = _configs.get_config(_dtypes.key_bits(keys.dtype), had)
+    if _host_tiered_applicable(keys, vt, algorithm, cfg):
+        out_keys, out_vals = _sort_host_tiered(
+            keys, vt, descending=descending, begin_bit=begin_bit,
+            end_bit=end_bit,
+            stable=(stable and algorithm != "msd_unstable"), cfg=cfg,
+        )
+        if not had:
+            return out_keys
+        return out_keys, (out_vals[0] if single else out_vals)
     out_keys, out_vals = _sort_impl(
         keys,
         vt,
@@ -304,6 +413,45 @@ def _sort_planes_impl(planes, values_tuple, *, key_dtype, descending,
     return tuple(out), sv
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("key_dtype", "descending", "begin_bit", "end_bit",
+                     "tier", "stable", "cfg"),
+)
+def _sort_planes_tier_impl(planes, values_tuple, *, key_dtype, descending,
+                           begin_bit, end_bit, tier, stable, cfg):
+    from tpusort.ops.equidepth import sort_twiddled_equidepth
+    from tpusort.ops.msd import sort_twiddled_msd
+
+    traits = _dtypes.traits_for(key_dtype)
+    tw = _dtypes.twiddle_planes_in(
+        tuple(jnp.asarray(p).view(jnp.uint32) for p in planes),
+        traits, descending=descending,
+    )
+    total_bits = traits.bits
+    eb = total_bits if end_bit is None else end_bit
+    ovf = jnp.asarray(False)
+    if tier == "radix":
+        sp, sv, ovf = sort_twiddled_msd(
+            tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits, stable=stable, on_overflow="flag",
+            skew_tier=False, config=cfg,
+        )
+    elif tier == "equidepth":
+        sp, sv, ovf = sort_twiddled_equidepth(
+            tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits, stable=stable, on_overflow="flag",
+            config=cfg,
+        )
+    else:
+        sp, sv = sort_twiddled_reference(
+            tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits,
+        )
+    out = _dtypes.twiddle_planes_out(sp, traits, descending=descending)
+    return tuple(out), sv, ovf
+
+
 def sort_planes(
     planes,
     values=None,
@@ -331,6 +479,15 @@ def sort_planes(
     cfg = _configs.get_config(
         _dtypes.traits_for(key_dtype).bits, had
     )
+    if _host_tiered_applicable(planes[0], vt, algorithm, cfg):
+        kw = dict(key_dtype=key_dtype, descending=descending,
+                  begin_bit=begin_bit, end_bit=end_bit,
+                  stable=(stable and algorithm != "msd_unstable"), cfg=cfg)
+        out_planes, out_vals = _run_tier_chain(
+            _sort_planes_tier_impl, (tuple(planes), vt), kw, cfg)
+        if not had:
+            return out_planes
+        return out_planes, (out_vals[0] if single else out_vals)
     out_planes, out_vals = _sort_planes_impl(
         tuple(planes), vt, key_dtype=key_dtype, descending=descending,
         begin_bit=begin_bit, end_bit=end_bit, algorithm=algorithm,

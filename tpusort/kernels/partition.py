@@ -187,12 +187,12 @@ def _fused_kernel(
     digit_ref = refs[0] if digit_input else None
     ins = refs[di : di + n_data]
     pos = di + n_data
-    spl_ref = None
+    spl_refs = None
     frac_ref = None
     if splitter_input:
-        spl_ref = refs[pos]
-        frac_ref = refs[pos + 1]
-        pos += 2
+        spl_refs = refs[pos : pos + n_planes]
+        frac_ref = refs[pos + n_planes]
+        pos += n_planes + 1
     cin_ref = refs[pos] if q_in is not None else None
     pos += 1 if q_in is not None else 0
     outs = refs[pos : pos + n_data]
@@ -244,18 +244,37 @@ def _fused_kernel(
             # quantile share and guarantees a later overflow).  A cut
             # forced outside [max(a,prev), prev+s] means the sample
             # misjudged a bucket -> poison the counts so the caller's
-            # overflow fallback fires.
-            sorted_plane = sorted_all[0]
+            # overflow fallback fires.  Multi-plane keys (u64 / composite
+            # stable pairs) compare lexicographically against per-plane
+            # splitter words.
+            sorted_planes_k = sorted_all[:n_planes]
+
+            def _cmp_counts(b, d):
+                """(#keys < splitter, #keys <= splitter) for tile b."""
+                lt = None
+                eq = None
+                for pi in range(n_planes):
+                    w = sorted_planes_k[pi][b]
+                    sw = spl_refs[pi][b, 0, d - 1]
+                    lt_i = w < sw
+                    eq_i = w == sw
+                    if lt is None:
+                        lt, eq = lt_i, eq_i
+                    else:
+                        lt = lt | (eq & lt_i)
+                        eq = eq & eq_i
+                a_ = jnp.sum(lt.astype(jnp.int32))
+                b_ = a_ + jnp.sum(eq.astype(jnp.int32))
+                return a_, b_
+
             for b in range(nb):
                 st = [jnp.int32(0)]
                 bs = [jnp.int32(0)]
                 flag = jnp.int32(0)
                 tile_id = pl.program_id(0) * nb + b
                 for d in range(1, r):
-                    sd = spl_ref[b, 0, d - 1]
                     fd = frac_ref[b, 0, d - 1].astype(jnp.int32)
-                    a_d = jnp.sum((sorted_plane[b] < sd).astype(jnp.int32))
-                    b_d = jnp.sum((sorted_plane[b] <= sd).astype(jnp.int32))
+                    a_d, b_d = _cmp_counts(b, d)
                     lo = jnp.maximum(a_d, st[-1])
                     hi = st[-1] + s
                     flag = flag | (lo > hi).astype(jnp.int32)
@@ -401,8 +420,8 @@ def partition_pass_fused(
     keys_only_fast = (
         digit is None and n_planes <= 2 and (n_values == 0 or unstable)
     )
-    if splitters is not None and not (keys_only_fast and n_planes == 1):
-        raise ValueError("splitters mode requires the single-plane raw path")
+    if splitters is not None and not keys_only_fast:
+        raise ValueError("splitters mode requires the raw-key path")
     if not keys_only_fast and (r << idx_bits) > (1 << 32):
         raise ValueError("sortkey overflow: r * K must fit in 32 bits")
     if counts_in is not None:
@@ -427,7 +446,13 @@ def partition_pass_fused(
         if splitter_fracs is None:
             # greedy fill: ties pack earlier buckets to capacity
             splitter_fracs = jnp.full((T, r - 1), 1 << 16, jnp.uint32)
-        for arr in (splitters, splitter_fracs):
+        spl_list = (
+            list(splitters) if isinstance(splitters, (list, tuple))
+            else [splitters]
+        )
+        if len(spl_list) != n_planes:
+            raise ValueError("need one splitter word array per key plane")
+        for arr in spl_list + [splitter_fracs]:
             inputs.append(
                 jnp.asarray(arr).astype(jnp.uint32).reshape(T, 1, r - 1)
             )

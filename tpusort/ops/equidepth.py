@@ -94,21 +94,30 @@ def _widen_last(plan: "_msd.MsdPlan", n: int, m_sample: int,
 
 
 def supports(nplanes: int, n_values: int, begin_bit: int, end_bit: int,
-             total_bits: int) -> bool:
-    return (
-        nplanes == 1 and n_values == 0 and begin_bit == 0
-        and end_bit == total_bits == 32
-    )
+             total_bits: int, stable: bool = False) -> bool:
+    """Whether the splitter pipeline itself can run this shape.
+
+    Multi-plane (u64) keys compare lexicographically against per-plane
+    splitter words; payloads ride the raw-key network (unstable pair
+    semantics — stable pairs go through the composite (key, position)
+    plane trick, which needs a free plane slot, hence nplanes == 1).
+    """
+    if begin_bit != 0 or end_bit != total_bits or total_bits != 32 * nplanes:
+        return False
+    if stable and n_values:
+        return nplanes == 1      # composite (key, gidx) trick
+    return nplanes in (1, 2)
 
 
 class _EqTable:
     """Equi-depth splitter table with sample-resolution tie spans.
 
-    q[z] is the key value at boundary slot z; lo/hi are the value's run
-    endpoints IN SAMPLE RANKS (searchsorted left/right), which give tie
-    fractions at 1/sample-copies resolution — table-slot resolution
-    (m/nq ranks per slot) quantizes a mid-mass value's split by 20%+ of
-    its mass and overflows the uncapped top bucket (measured on zipf)."""
+    q[p][z] is plane p's word of the key value at boundary slot z; lo/hi
+    are the value's run endpoints IN SAMPLE RANKS (searchsorted
+    left/right), which give tie fractions at 1/sample-copies resolution —
+    table-slot resolution (m/nq ranks per slot) quantizes a mid-mass
+    value's split by 20%+ of its mass and overflows the uncapped top
+    bucket (measured on zipf)."""
 
     __slots__ = ("q", "lo", "hi", "ranks", "m")
 
@@ -116,15 +125,16 @@ class _EqTable:
         self.q, self.lo, self.hi, self.ranks, self.m = q, lo, hi, ranks, m
 
 
-def _quantile_table(plane: jax.Array, n: int, nq: int,
+def _quantile_table(planes: Sequence[jax.Array], n: int, nq: int,
                     sample_log2: Optional[int] = None) -> _EqTable:
-    """Equi-depth splitters + tie spans from a strided sample of plane[:n].
+    """Equi-depth splitters + tie spans from a strided sample of planes[:n].
 
     The deepest splitter level needs low relative noise: with sample size
     m, a leaf bucket's size estimate has sigma ~ sqrt(nq/m); the static
     capacity margin is ~50%, so we take m ~ n/8 (>= 256 samples per leaf
     bucket at production geometry), sorted by the radix engine itself
-    (one level of reuse, ~10-20 ms at 2^25).
+    (one level of reuse, ~10-20 ms at 2^25).  Multi-plane keys sort
+    lexicographically and tie spans compare all planes.
     """
     import numpy as _np
 
@@ -133,39 +143,42 @@ def _quantile_table(plane: jax.Array, n: int, nq: int,
     else:
         target = 1 << sample_log2
     stride = max(1, n // target)
-    sample = jax.lax.slice(plane, (0,), (n,), (stride,))
-    m = sample.shape[0]
+    samples = [jax.lax.slice(p, (0,), (n,), (stride,)) for p in planes]
+    m = samples[0].shape[0]
+    bits = 32 * len(planes)
     if m >= (1 << 18):
         # skew_tier=False: the sample sort must not nest another equidepth
         # branch (recursive cond workspace); a skewed sample just takes
         # this inner sort's reference fallback
-        (sample,), _ = _msd.sort_twiddled_msd(
-            (sample,), (), begin_bit=0, end_bit=32, total_bits=32,
+        sp, _ = _msd.sort_twiddled_msd(
+            tuple(samples), (), begin_bit=0, end_bit=bits, total_bits=bits,
             skew_tier=False,
         )
+        samples = list(sp)
     else:
-        sample = jax.lax.sort(sample)
+        samples = list(
+            jax.lax.sort(samples, num_keys=len(samples), is_stable=False)
+        )
     # ranks are static: compute with Python ints (i * m overflows int32 for
     # deep tables — nq 32767 x m 2^23 — and this backend has no 64-bit)
     ranks = _np.fromiter(
         (min(i * m // (nq + 1), m - 1) for i in range(1, nq + 1)),
         dtype=_np.int32, count=nq,
     )
-    q = sample[jnp.asarray(ranks)]
+    rk = jnp.asarray(ranks)
+    q = [s[rk] for s in samples]
     # run endpoints of every slot's value, via O(m) run-start scans (a
     # searchsorted over the 8M sample is a gather-based binary search —
     # measured ~40 ms; two cummax scans are ~1 ms)
     idx = jnp.arange(m, dtype=jnp.int32)
-    neq_prev = jnp.concatenate(
-        [jnp.ones((1,), bool), sample[1:] != sample[:-1]]
-    )
+    neq = samples[0][1:] != samples[0][:-1]
+    for s in samples[1:]:
+        neq = neq | (s[1:] != s[:-1])
+    neq_prev = jnp.concatenate([jnp.ones((1,), bool), neq])
     first = jax.lax.cummax(jnp.where(neq_prev, idx, 0))
-    neq_next = jnp.concatenate(
-        [sample[1:] != sample[:-1], jnp.ones((1,), bool)]
-    )
+    neq_next = jnp.concatenate([neq, jnp.ones((1,), bool)])
     first_rev = jax.lax.cummax(jnp.where(neq_next[::-1], idx, 0))
     last1 = m - first_rev[::-1]        # last occurrence + 1
-    rk = jnp.asarray(ranks)
     return _EqTable(q, first[rk], last1[rk], ranks, m)
 
 
@@ -193,7 +206,7 @@ def _pass_splitters(table: _EqTable, p: int, j: int, r: int,
     g = _np.arange(r ** j, dtype=_np.int64)[:, None]
     stride = r ** (p - 1 - j)
     z = ((g * r + i) * stride - 1).astype(_np.int32)   # (r^j, r-1)
-    spl_seg = table.q[jnp.asarray(z)]
+    spl_seg = [qp[jnp.asarray(z)] for qp in table.q]
     lo = table.lo[jnp.asarray(z)]                      # v's sample-rank span
     span = jnp.maximum(table.hi[jnp.asarray(z)] - lo, 1)
     # boundary ranks (static): slot z cuts at sample rank ranks[z]; the
@@ -226,25 +239,29 @@ def _pass_splitters(table: _EqTable, p: int, j: int, r: int,
         0, 65536,
     )
     return (
-        jnp.repeat(spl_seg, t_seg, axis=0),
+        [jnp.repeat(sp_, t_seg, axis=0) for sp_ in spl_seg],
         jnp.repeat(frac.astype(jnp.uint32), t_seg, axis=0),
     )
 
 
 def _run_pipeline(
-    plane: jax.Array,
+    planes: Sequence[jax.Array],
+    values: Sequence[jax.Array],
     n: int,
     plan: "_msd.MsdPlan",
-    q: jax.Array,
+    q: _EqTable,
     interpret: Optional[bool],
-) -> Tuple[jax.Array, jax.Array]:
-    """Splitter passes + raw-key leaf + collapse over one twiddled plane.
+) -> Tuple[list, jax.Array]:
+    """Splitter passes + raw-key leaf + collapse over twiddled plane(s)
+    plus payload operands (which ride the raw network — unstable pair
+    semantics, like the msd raw path).
 
-    Returns (sorted (n,) plane, overflow flag).  The caller owns the
-    quantile table and the exact-fallback cond.
+    Returns (sorted (n,) ops [planes..., values...], overflow flag).  The
+    caller owns the quantile table and the fallback decision.
     """
     from tpusort.kernels.partition import partition_pass_fused
 
+    nplanes = len(planes)
     p = len(plan.passes)
     r = plan.passes[0].r
     k0 = plan.passes[0].k
@@ -264,18 +281,21 @@ def _run_pipeline(
     # windows (measured: alternating full/empty buckets, every tile
     # poisoned).  The swap spreads any contiguous tile band across [0, T)
     # at granularity <= A, so bucket windows (>> A wide) stay balanced.
-    # Keys-only, so the reorder is free.
-    padded = jnp.pad(plane, (0, plan.m1 - n))
+    # The reorder applies to every operand (payloads ride along).
+    all_in = [jnp.asarray(o).view(jnp.uint32) for o in
+              list(planes) + list(values)]
+    padded_ops = [jnp.pad(o, (0, plan.m1 - n)) for o in all_in]
     a_mix = 1 << ((t1.bit_length() - 1) // 2)
     b_mix = t1 // a_mix
     t_idx = jnp.arange(t1, dtype=jnp.int32)
     if a_mix * b_mix == t1:
-        strided = (
-            padded.reshape(k0, b_mix, a_mix).transpose(2, 1, 0).reshape(-1)
-        )
+        strided_ops = [
+            o.reshape(k0, b_mix, a_mix).transpose(2, 1, 0).reshape(-1)
+            for o in padded_ops
+        ]
         mixvec = (t_idx % b_mix) * a_mix + t_idx // b_mix
     else:
-        strided = padded.reshape(k0, t1).T.reshape(-1)
+        strided_ops = [o.reshape(k0, t1).T.reshape(-1) for o in padded_ops]
         mixvec = t_idx
     # validity: tile t's slot j holds element j*T + mix(t), valid iff < n;
     # per-tile valid-prefix length ceil((n - mix(t)) / T), as a counts chain
@@ -286,7 +306,7 @@ def _run_pipeline(
         - jnp.arange(k0 // qg, dtype=jnp.int32)[None, :] * qg,
         0, qg,
     )
-    ops = [strided]
+    ops = strided_ops
     ctable = c0.reshape(-1)
     prev_s = None
     overflow = jnp.asarray(False)
@@ -297,10 +317,10 @@ def _run_pipeline(
         cin = ctable.reshape(t, spec.k // qg)
         sorted_run = None if prev_s is None else (prev_s & -prev_s)
         data, counts = partition_pass_fused(
-            tiled, [], cin, q_in=qg,
+            tiled[:nplanes], tiled[nplanes:], cin, q_in=qg,
             r=spec.r, s=spec.s, lo_bit=spec.lo_bit, width=spec.width,
             sorted_run=sorted_run, t_seg=spec.t_seg, splitters=spl,
-            splitter_fracs=frac, interpret=interpret,
+            splitter_fracs=frac, unstable=True, interpret=interpret,
         )
         overflow |= jnp.any(counts > spec.s)
         qg = spec.s & -spec.s
@@ -332,11 +352,12 @@ def _run_pipeline(
     ct = ctable.reshape(nt, tile // qg)
     sorted_ops = sort_tiles_counts(
         [o.reshape(nt, tile) for o in ops], ct, qg,
-        sorted_run=(prev_s & -prev_s), interpret=interpret,
+        sorted_run=(prev_s & -prev_s), num_keys=nplanes,
+        interpret=interpret,
     )
     tile_counts = ct.sum(axis=1, dtype=jnp.int32)
     out = collapse_segments(sorted_ops, tile_counts, n, interpret=interpret)
-    return out[0], overflow
+    return out, overflow
 
 
 def _prepare(n: int, plan_kwargs: Optional[dict]):
@@ -363,42 +384,102 @@ def sort_twiddled_equidepth(
     total_bits: int,
     use_pallas: Optional[bool] = None,
     plan_kwargs: Optional[dict] = None,
+    stable: bool = False,
+    on_overflow: str = "cond",
     config=None,
-) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
-    """Engine-registry entry (keys-only; delegates otherwise)."""
+):
+    """Engine-registry entry.
+
+    Universal skew tier (VERDICT r1 #2): supports keys-only and unstable
+    pairs for u32 and u64 (2-plane lexicographic) keys, plus STABLE u32
+    pairs via the composite (key, position) plane trick — the same shapes
+    the reference's dynamic hot-bucket machinery covers
+    (``cuda_radix_sort.h:437-447,992-1271``).  Delegates to the exact
+    reference sort otherwise.
+
+    ``on_overflow="flag"`` returns ``(planes, values, overflow)`` and
+    leaves the fallback decision to the caller (host-owned tiering, no
+    in-graph workspace reservation — this is what lifts the old n < 2^28
+    skew-tier gate).
+    """
+    flag_mode = on_overflow == "flag"
     n = planes[0].shape[0]
     if plan_kwargs is None and config is not None:
         plan_kwargs = config.plan_kwargs()
         if config.skew_sample_log2 is not None:
             plan_kwargs["sample_log2"] = config.skew_sample_log2
     kwargs, min_n, sample_log2, m_sample, leaf_max = _prepare(n, plan_kwargs)
-    if not supports(len(planes), len(values), begin_bit, end_bit,
-                    total_bits) or n < min_n:
-        return sort_twiddled_reference(
+
+    def _delegate():
+        sp, sv = sort_twiddled_reference(
             planes, values, begin_bit=begin_bit, end_bit=end_bit,
             total_bits=total_bits,
         )
+        return (sp, sv, jnp.asarray(False)) if flag_mode else (sp, sv)
+
+    if (
+        not supports(len(planes), len(values), begin_bit, end_bit,
+                     total_bits, stable=stable)
+        or n < min_n
+        or any(jnp.dtype(v.dtype).itemsize != 4 for v in values)
+    ):
+        return _delegate()
+
+    if stable and values:
+        # composite (key, position) plane: position is unique, so the
+        # unstable 2-plane pipeline is stable-by-key (and the all-ones
+        # garbage sentinel can never match a real (key, gidx))
+        gidx = jnp.arange(n, dtype=jnp.uint32)
+        res = sort_twiddled_equidepth(
+            (planes[0], gidx), values, begin_bit=0, end_bit=64,
+            total_bits=64, use_pallas=use_pallas, plan_kwargs=plan_kwargs,
+            stable=False, on_overflow=on_overflow,
+        )
+        if flag_mode:
+            return (res[0][:1], res[1], res[2])
+        return res[0][:1], res[1]
+
     plan = _msd.plan_msd(n, begin_bit, end_bit, **kwargs)
     if plan is None:
-        return sort_twiddled_reference(
-            planes, values, begin_bit=begin_bit, end_bit=end_bit,
-            total_bits=total_bits,
-        )
+        return _delegate()
     plan = _widen_last(plan, n, m_sample, leaf_max)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     interpret = (not use_pallas) or None
 
-    q = _quantile_table(planes[0], n, plan.passes[0].r ** len(plan.passes) - 1,
+    q = _quantile_table(planes, n,
+                        plan.passes[0].r ** len(plan.passes) - 1,
                         sample_log2=sample_log2)
-    out, overflow = _run_pipeline(planes[0], n, plan, q, interpret)
+    out, overflow = _run_pipeline(planes, values, n, plan, q, interpret)
+    if values:
+        # pairs ride the raw network: a valid key equal to the all-ones
+        # garbage sentinel could swap payloads with a dropped pad slot
+        is_max = planes[0] == jnp.uint32(0xFFFFFFFF)
+        for p_ in planes[1:]:
+            is_max = is_max & (p_ == jnp.uint32(0xFFFFFFFF))
+        overflow |= jnp.any(is_max)
+
+    nplanes = len(planes)
+    out_planes = tuple(out[:nplanes])
+    out_values = tuple(
+        o.view(jnp.asarray(v).dtype) for o, v in zip(out[nplanes:], values)
+    )
+    if flag_mode:
+        return out_planes, out_values, overflow
 
     def _fallback(_):
-        sp, _ = sort_twiddled_reference(
+        sp, sv = sort_twiddled_reference(
             planes, values, begin_bit=begin_bit, end_bit=end_bit,
             total_bits=total_bits,
         )
-        return sp[0]
+        return list(sp) + [jnp.asarray(v).view(jnp.uint32) for v in sv]
 
-    res = jax.lax.cond(overflow, _fallback, lambda _: out, None)
-    return (res,), ()
+    res = jax.lax.cond(
+        overflow, _fallback, lambda _: [o.view(jnp.uint32) for o in out],
+        None,
+    )
+    rp = tuple(res[:nplanes])
+    rv = tuple(
+        o.view(jnp.asarray(v).dtype) for o, v in zip(res[nplanes:], values)
+    )
+    return rp, rv
