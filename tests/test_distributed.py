@@ -85,3 +85,87 @@ def test_global_sort_zipf(mesh):
     keys = datagen.zipf_keys(jax.random.key(6), n, alpha=1.2, dtype=jnp.uint32)
     got = gs.global_sort(keys, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(got), np_sort_oracle(np.asarray(keys)))
+
+
+# ---------------------------------------------------------------------------
+# Round 2: 64-bit planes, chunked exchange, engine finish
+# ---------------------------------------------------------------------------
+
+
+def test_global_sort_u64_planes(mesh):
+    """2-plane (u64) keys with a heavily skewed hi plane: lexicographic
+    splitter selection + multi-plane tie quotas."""
+    n = 1 << 14
+    rng = np.random.default_rng(7)
+    hi = jnp.asarray(rng.integers(0, 3, n).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                     .astype(np.uint32))
+    sorter = gs.make_global_sort_planes(mesh, key_dtype="uint64")
+    ohi, olo = sorter((hi, lo))
+    got = (np.asarray(ohi).astype(np.uint64) << 32) | np.asarray(olo)
+    want = np.sort((np.asarray(hi).astype(np.uint64) << 32)
+                   | np.asarray(lo).astype(np.uint64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_global_sort_u64_dtype(mesh):
+    """64-bit dtype through the array API (CPU backend materializes u64)."""
+    n = 1 << 14
+    keys = datagen.random_keys(jax.random.key(8), n, "uint64")
+    got = gs.global_sort(keys, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.sort(np.asarray(keys)))
+
+
+def test_global_sort_i64_planes_descending(mesh):
+    n = 1 << 13
+    rng = np.random.default_rng(9)
+    v = rng.integers(-(1 << 62), 1 << 62, n, dtype=np.int64)
+    u = v.view(np.uint64)
+    hi = jnp.asarray((u >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    sorter = gs.make_global_sort_planes(mesh, key_dtype="int64")
+    ohi, olo = sorter((hi, lo), descending=True)
+    got = (((np.asarray(ohi).astype(np.uint64) << 32)
+            | np.asarray(olo))).view(np.int64)
+    np.testing.assert_array_equal(got, np.sort(v)[::-1])
+
+
+def test_global_sort_chunked_exchange(mesh):
+    """chunks > 1 splits the all-to-all along the capacity axis; results
+    are identical to the monolithic exchange."""
+    n = 1 << 15
+    keys = datagen.entropy_keys(jax.random.key(10), n, 2, "uint32")
+    got1 = np.asarray(gs.global_sort(keys, mesh=mesh, chunks=1))
+    got4 = np.asarray(gs.global_sort(keys, mesh=mesh, chunks=4))
+    np.testing.assert_array_equal(got1, got4)
+    np.testing.assert_array_equal(got4, np_sort_oracle(np.asarray(keys)))
+
+
+def test_global_sort_chunked_pairs(mesh):
+    n = 1 << 14
+    keys = datagen.zipf_keys(jax.random.key(11), n, alpha=1.2,
+                             dtype=jnp.uint32)
+    vals = datagen.enumerated_values(n)
+    gk, gv = gs.global_sort(keys, vals, mesh=mesh, chunks=2)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    np.testing.assert_array_equal(gk, np_sort_oracle(np.asarray(keys)))
+    assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
+    np.testing.assert_array_equal(np.asarray(keys)[gv], gk)
+
+
+def test_global_sort_u64_pairs(mesh):
+    """2-plane keys + payload: finishes via the variadic sort path."""
+    n = 1 << 13
+    rng = np.random.default_rng(12)
+    hi = jnp.asarray(rng.integers(0, 5, n).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 16, n).astype(np.uint32))
+    vals = datagen.enumerated_values(n)
+    sorter = gs.make_global_sort_planes(mesh, key_dtype="uint64")
+    (ohi, olo), ov = sorter((hi, lo), vals)
+    got = (np.asarray(ohi).astype(np.uint64) << 32) | np.asarray(olo)
+    orig = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(lo)
+    np.testing.assert_array_equal(got, np.sort(orig))
+    gv = np.asarray(ov)
+    assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
+    np.testing.assert_array_equal(orig[gv], got)
