@@ -6,8 +6,13 @@ The analog of the reference's gtest runner (``msb/tests/main.cu:12-72`` with
 verifies against the in-framework oracle, and records metrics in a
 BM-style profile table (``msb/external/benchmark/benchmark.h``).
 
+Round-2 matrix (VERDICT #2): u32 / u64-planes / pairs rows x entropy
+{1,2,4,8,0} + zipf.  The public API's host-owned tier chain routes each
+row: radix fast path, equi-depth skew tier, exact fallback.
+
     python benchmarks/entropy_matrix.py -k 16777216 -r 2 \
-        [--algorithm msd] [--entropies 1 2 4 0] [--csv out.csv]
+        [--pairs] [--stable] [--types uint32 uint64 float32] \
+        [--entropies 1 2 4 8 0 zipf] [--csv out.csv]
 """
 
 from __future__ import annotations
@@ -26,14 +31,56 @@ from tpusort.utils import datagen, timing
 from tpusort.utils.profiling import Profile
 
 
-def verify(keys, got) -> bool:
-    """Oracle check: engine output vs the stable reference engine."""
+def _gen_u32(n: int, entropy, seed: int = 0) -> jax.Array:
+    if entropy == "zipf":
+        return datagen.zipf_keys(jax.random.key(seed), n, alpha=1.1,
+                                 dtype=jnp.uint32)
+    e = int(entropy)
+    if e == 1:
+        return datagen.random_keys(jax.random.key(seed), n, "uint32")
+    return datagen.entropy_keys(jax.random.key(seed), n, e, "uint32")
+
+
+def _gen_planes(n: int, entropy, seed: int = 0):
+    """u64 keys as (hi, lo) planes: per-plane AND of k draws equals the
+    64-bit AND-entropy ladder (independent words)."""
+    if entropy == "zipf":
+        lo = datagen.zipf_keys(jax.random.key(seed), n, alpha=1.1,
+                               dtype=jnp.uint32)
+        hi = jnp.zeros_like(lo)  # zipf ranks fit 32 bits; hi plane ties
+        return hi, lo
+    e = int(entropy)
+    if e == 0:
+        z = jnp.zeros((n,), jnp.uint32)
+        return z, z
+    hi = datagen.entropy_keys(jax.random.key(2 * seed + 1), n, e, "uint32") \
+        if e > 1 else datagen.random_keys(jax.random.key(2 * seed + 1), n,
+                                          "uint32")
+    lo = datagen.entropy_keys(jax.random.key(2 * seed + 2), n, e, "uint32") \
+        if e > 1 else datagen.random_keys(jax.random.key(2 * seed + 2), n,
+                                          "uint32")
+    return hi, lo
+
+
+def verify_u32(keys, got) -> bool:
     want = jax.jit(lambda k: tpusort.sort(k, algorithm="reference"))(keys)
-    return bool(
-        jnp.array_equal(got.view(jnp.uint32), want.view(jnp.uint32))
-        if got.dtype.itemsize == 4
-        else jnp.array_equal(got.view(jnp.uint64), want.view(jnp.uint64))
-    )
+    return bool(jnp.array_equal(got.view(jnp.uint32), want.view(jnp.uint32)))
+
+
+def verify_planes(hi, lo, ghi, glo) -> bool:
+    whi, wlo = jax.jit(lambda h, l: tpusort.sort_planes(
+        (h, l), key_dtype="uint64", algorithm="reference"))(hi, lo)
+    return bool(jnp.array_equal(ghi, whi) and jnp.array_equal(glo, wlo))
+
+
+def verify_pairs(keys, gk, gv) -> bool:
+    """Unstable pair semantics: permutation check (test_sort_pairs.cu)."""
+    n = keys.shape[0]
+    ks = np.asarray(keys)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    if int(gv.astype(np.uint64).sum()) != n * (n - 1) // 2:
+        return False
+    return bool(np.array_equal(ks[gv], gk))
 
 
 def main():
@@ -42,31 +89,77 @@ def main():
     ap.add_argument("-r", "--repeats", type=int, default=1)
     ap.add_argument("--algorithm", default="auto")
     ap.add_argument("--types", nargs="+",
-                    default=["uint32", "float32", "uint64"])
-    ap.add_argument("--entropies", type=int, nargs="+",
-                    default=[1, 2, 4, 8, 0])
+                    default=["uint32", "uint64", "float32"])
+    ap.add_argument("--pairs", action="store_true",
+                    help="add a u32 keys + u32 payload row set")
+    ap.add_argument("--stable", action="store_true",
+                    help="stable pair semantics (default unstable)")
+    ap.add_argument("--entropies", nargs="+",
+                    default=["1", "2", "4", "8", "0", "zipf"])
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--csv")
     args = ap.parse_args()
 
+    n = args.num_keys
     prof = Profile(f"entropy_matrix_{args.algorithm}")
-    for dtype in args.types:
-        fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))
+
+    rows = [("pairs", None)] if args.pairs else [
+        (t, None) for t in args.types
+    ]
+    for dtype, _ in rows:
         for entropy in args.entropies:
-            keys = (
-                datagen.random_keys(jax.random.key(0), args.num_keys, dtype)
-                if entropy == 1
-                else datagen.entropy_keys(
-                    jax.random.key(0), args.num_keys, entropy, dtype
+            if dtype == "uint64":
+                hi, lo = _gen_planes(n, entropy)
+                fn = lambda h, l: tpusort.sort_planes(
+                    (h, l), key_dtype="uint64", algorithm=args.algorithm)
+                with prof.run(dtype=dtype, entropy=entropy,
+                              num_keys=n) as r:
+                    dt = timing.measure(fn, hi, lo, iters=args.repeats)
+                    r.set_metric("sort_ms", dt * 1e3)
+                    r.set_metric("mkeys_per_s", n / dt / 1e6)
+                    if not args.no_verify:
+                        ghi, glo = fn(hi, lo)
+                        r.set_metric("verified",
+                                     verify_planes(hi, lo, ghi, glo))
+            elif dtype == "pairs":
+                keys = _gen_u32(n, entropy)
+                vals = jnp.arange(n, dtype=jnp.uint32)
+                fn = lambda k, v: tpusort.sort(
+                    k, v, algorithm=args.algorithm, stable=args.stable)
+                with prof.run(dtype="u32pairs", entropy=entropy,
+                              num_keys=n) as r:
+                    dt = timing.measure(fn, keys, vals, iters=args.repeats)
+                    r.set_metric("sort_ms", dt * 1e3)
+                    r.set_metric("mpairs_per_s", n / dt / 1e6)
+                    if not args.no_verify:
+                        gk, gv = fn(keys, vals)
+                        ok = verify_pairs(keys, gk, gv)
+                        if args.stable:
+                            wk, wv = jax.jit(lambda k, v: tpusort.sort(
+                                k, v, algorithm="reference"))(keys, vals)
+                            ok = ok and bool(jnp.array_equal(gv, wv))
+                        r.set_metric("verified", ok)
+            else:
+                if entropy == "zipf" and dtype != "uint32":
+                    continue
+                keys = (
+                    _gen_u32(n, entropy) if dtype == "uint32"
+                    else datagen.random_keys(jax.random.key(0), n, dtype)
+                    if entropy == "1"
+                    else datagen.entropy_keys(jax.random.key(0), n,
+                                              int(entropy), dtype)
                 )
-            )
-            with prof.run(dtype=dtype, entropy=entropy,
-                          num_keys=args.num_keys) as r:
-                dt = timing.measure(fn, keys, iters=args.repeats)
-                r.set_metric("sort_ms", dt * 1e3)
-                r.set_metric("mkeys_per_s", args.num_keys / dt / 1e6)
-                if not args.no_verify:
-                    r.set_metric("verified", verify(keys, fn(keys)))
+                fn = lambda k: tpusort.sort(k, algorithm=args.algorithm)
+                with prof.run(dtype=dtype, entropy=entropy,
+                              num_keys=n) as r:
+                    dt = timing.measure(fn, keys, iters=args.repeats)
+                    r.set_metric("sort_ms", dt * 1e3)
+                    r.set_metric("mkeys_per_s", n / dt / 1e6)
+                    if not args.no_verify:
+                        r.set_metric("verified", verify_u32(keys, fn(keys))
+                                     if dtype == "uint32" else bool(
+                                         jnp.array_equal(
+                                             jnp.sort(keys), fn(keys))))
 
     print(prof.table())
     if args.csv:

@@ -26,6 +26,7 @@ from typing import Callable, Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpusort import configs as _configs
 from tpusort import dtypes as _dtypes
@@ -248,8 +249,53 @@ def _tier_chain(cfg) -> Tuple[str, ...]:
     return ("radix", "equidepth", "exact") if use_eq else ("radix", "exact")
 
 
-def _run_tier_chain(impl, args, kw, cfg):
+@functools.partial(jax.jit, static_argnames=("stride", "descending"))
+def _planner_sample_impl(keys, stride: int, descending: bool):
+    planes, _ = _dtypes.twiddle_in(keys, descending=descending)
+    p0 = planes[0]
+    return jax.lax.slice(p0, (0,), (p0.shape[0],), (stride,))
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "key_dtype",
+                                             "descending"))
+def _planner_sample_planes_impl(planes, stride: int, key_dtype: str,
+                                descending: bool):
+    traits = _dtypes.traits_for(key_dtype)
+    tw = _dtypes.twiddle_planes_in(
+        tuple(jnp.asarray(p).view(jnp.uint32) for p in planes),
+        traits, descending=descending,
+    )
+    return jax.lax.slice(tw[0], (0,), (tw[0].shape[0],), (stride,))
+
+
+def _skip_radix_tier(sample_fn, n, begin_bit, end_bit, total_bits,
+                     cfg) -> bool:
+    """Host pre-classifier (the reference's CPU planner analog,
+    gpu_radix_sort.cu:29-104): predict from a strided sample whether the
+    radix tier's static capacities are doomed, and skip straight to the
+    skew tier if so.  Mispredictions are safe — the flag-mode overflow
+    check still guards correctness."""
+    from tpusort import planner
+    from tpusort.ops import msd as _msd
+
+    eb = total_bits if end_bit is None else end_bit
+    if begin_bit != 0 or eb != total_bits or n < planner.PLANNER_MIN_N:
+        return False
+    kwargs = {k: v for k, v in cfg.plan_kwargs().items() if k != "min_n"}
+    plan = _msd.plan_msd(n, 0, eb, **kwargs)
+    if plan is None:
+        return False
+    stride = max(1, n // planner.SAMPLE_TARGET)
+    import numpy as np
+
+    sample = np.asarray(sample_fn(stride))
+    return planner.predict_radix_overflow(sample, plan, n)
+
+
+def _run_tier_chain(impl, args, kw, cfg, skip_radix=False):
     tiers = _tier_chain(cfg)
+    if skip_radix and len(tiers) > 2:
+        tiers = tiers[1:]
     out_k = out_v = None
     for i, tier in enumerate(tiers):
         if out_k is not None:
@@ -264,7 +310,15 @@ def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
                       cfg):
     kw = dict(descending=descending, begin_bit=begin_bit, end_bit=end_bit,
               stable=stable, cfg=cfg)
-    return _run_tier_chain(_sort_tier_impl, (keys, vt), kw, cfg)
+    skip = False
+    if "equidepth" in _tier_chain(cfg):
+        skip = _skip_radix_tier(
+            lambda stride: _planner_sample_impl(keys, stride, descending),
+            keys.shape[0], begin_bit, end_bit,
+            _dtypes.key_bits(keys.dtype), cfg,
+        )
+    return _run_tier_chain(_sort_tier_impl, (keys, vt), kw, cfg,
+                           skip_radix=skip)
 
 
 def _host_tiered_applicable(keys, values_tuple, algorithm, cfg) -> bool:
@@ -483,8 +537,17 @@ def sort_planes(
         kw = dict(key_dtype=key_dtype, descending=descending,
                   begin_bit=begin_bit, end_bit=end_bit,
                   stable=(stable and algorithm != "msd_unstable"), cfg=cfg)
+        pt = tuple(planes)
+        skip = False
+        if "equidepth" in _tier_chain(cfg):
+            skip = _skip_radix_tier(
+                lambda stride: _planner_sample_planes_impl(
+                    pt, stride, key_dtype, descending),
+                np.shape(pt[0])[0], begin_bit, end_bit,
+                _dtypes.traits_for(key_dtype).bits, cfg,
+            )
         out_planes, out_vals = _run_tier_chain(
-            _sort_planes_tier_impl, (tuple(planes), vt), kw, cfg)
+            _sort_planes_tier_impl, (pt, vt), kw, cfg, skip_radix=skip)
         if not had:
             return out_planes
         return out_planes, (out_vals[0] if single else out_vals)
