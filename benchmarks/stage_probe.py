@@ -1,0 +1,260 @@
+"""Component-level probes for the partition-pass cost model.
+
+Each probe isolates one ingredient of a radix pass so the pass's fixed
+overhead (starts/counts/emit) can be separated from the compare-exchange
+network cost.  Run probes individually (they are separate compile units;
+keep them small so a wedged remote-compile service can't eat the session):
+
+    python benchmarks/stage_probe.py network --log2n 26
+    python benchmarks/stage_probe.py merge --log2n 26
+    python benchmarks/stage_probe.py pass_full --log2n 26
+    python benchmarks/stage_probe.py starts --r 32
+    python benchmarks/stage_probe.py starts_rows --r 32
+    python benchmarks/stage_probe.py matmul --dtype bf16
+    python benchmarks/stage_probe.py gather
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusort.kernels.bitonic import (
+    LANES, _merge_sorted_runs, _sort_network,
+)
+from tpusort.utils import timing
+
+
+def _report(name, dt, n_items, unit="elem"):
+    print(f"{name}: {dt*1e3:9.3f} ms -> {n_items/dt/1e9:8.3f} G{unit}/s")
+
+
+def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0):
+    """Pure bitonic sort (or merge) kernel over (T, K) tiles, 1 operand."""
+    n = 1 << log2n
+    T = n // k
+    rows = k // LANES
+
+    def kern(x_ref, o_ref):
+        x = [x_ref[...]]
+        if merge_from:
+            x = _merge_sorted_runs(x, merge_from)
+        else:
+            x = _sort_network(x)
+        o_ref[...] = x[0]
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        grid=(T // nb,),
+        in_specs=[spec], out_specs=spec,
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    if merge_from:
+        xs = x.reshape(T, -1, merge_from)
+        x = jax.lax.sort(xs, dimension=2).reshape(T, rows, LANES)
+    dt = timing.measure(f, x, iters=3)
+    lgk = k.bit_length() - 1
+    if merge_from:
+        k0 = merge_from.bit_length() - 1
+        stages = sum(range(k0 + 1, lgk + 1))
+    else:
+        stages = lgk * (lgk + 1) // 2
+    _report(f"{'merge' if merge_from else 'sort'} k={k} nb={nb} "
+            f"({stages} stages)", dt, n)
+    print(f"  per-stage: {dt/stages*1e3:.4f} ms "
+          f"({dt/stages/n*1e12:.3f} ps/elem/stage)")
+
+
+def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
+                    s: int = 0):
+    """The production fused partition pass at production geometry."""
+    from tpusort.kernels.partition import partition_pass_fused
+
+    n = 1 << log2n
+    k = 1 << 14
+    if not s:
+        s = ((3 * k // (2 * r)) // 128) * 128
+    width = r.bit_length() - 1
+    T = n // k
+    keys = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
+
+    def fn(keys):
+        data, counts = partition_pass_fused(
+            [keys], [], None, r=r, s=s, lo_bit=32 - width, width=width,
+            n=n, t_seg=T, starts_rows=starts_rows, interpret=False,
+        )
+        return data[0], counts
+
+    dt = timing.measure(fn, keys, iters=3)
+    _report(f"pass_full k={k} r={r} s={s} rows={starts_rows}", dt, n)
+
+
+def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
+    """Starts/counts computation cost, isolated: full-tile reduces
+    (today's) vs row-hierarchical (row-last vector + one-row residual)."""
+    k = 1 << 14
+    rows = k // LANES
+    T = 512
+    nb = 4
+    width = r.bit_length() - 1
+
+    def kern(x_ref, o_ref):
+        x = x_ref[...]
+        digit = x >> jnp.uint32(32 - width)
+        total = jnp.zeros((), jnp.int32)
+        for _ in range(iters_in_kernel):
+            for b in range(nb):
+                db = digit[b]
+                if variant == "full":
+                    for d in range(1, r):
+                        total += jnp.sum(
+                            (db < jnp.uint32(d)).astype(jnp.int32))
+                else:
+                    row_last = db[:, LANES - 1 : LANES]  # (rows, 1)
+                    for d in range(1, r):
+                        rb = jnp.sum(
+                            (row_last < jnp.uint32(d)).astype(jnp.int32))
+                        total += rb
+            digit = digit ^ jnp.uint32(total & 1)
+        o_ref[0, 0] = total
+
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T // nb, 1), jnp.int32),
+        grid=(T // nb,),
+        in_specs=[pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1), lambda t: (t, 0),
+                               memory_space=pltpu.SMEM),
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    dt = timing.measure(f, x, iters=3)
+    per_pass = dt / iters_in_kernel
+    _report(f"starts[{variant}] r={r} (per pass-equivalent)", per_pass,
+            T * k)
+
+
+def probe_matmul(dtype_name: str):
+    dt_map = {"bf16": jnp.bfloat16, "f32": jnp.float32, "s8": jnp.int8}
+    dt_in = dt_map[dtype_name]
+    acc = jnp.int32 if dtype_name == "s8" else jnp.float32
+    m = k = n2 = 256
+    reps = 16
+
+    def kern(a_ref, b_ref, o_ref):
+        a, b = a_ref[...], b_ref[...]
+        o = jnp.zeros((m, n2), acc)
+        for _ in range(reps):
+            o = o + jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc)
+            a = a + a
+        o_ref[...] = o
+
+    G = 64
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n2), acc),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((m, k), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, n2), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, n2), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    a = jnp.ones((m, k), dt_in)
+    b = jnp.ones((k, n2), dt_in)
+    dt = timing.measure(f, a, b, iters=3)
+    macs = G * reps * m * k * n2
+    print(f"matmul {dtype_name}: {dt*1e3:.3f} ms -> "
+          f"{macs/dt/1e12:.2f} T MAC/s")
+
+
+def probe_gather():
+    """Does Mosaic lower take_along_axis on sublanes / lanes at all?"""
+    rows, T, reps = 128, 64, 4
+
+    for axis in (1, 2):
+        hi = rows if axis == 1 else LANES
+
+        def kern(x_ref, i_ref, o_ref, axis=axis):
+            x, idx = x_ref[...], i_ref[...]
+            for _ in range(reps):
+                x = jnp.take_along_axis(x, idx, axis=axis)
+            o_ref[...] = x
+
+        spec = pl.BlockSpec((4, rows, LANES), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+        f = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.int32),
+            grid=(T // 4,),
+            in_specs=[spec, spec], out_specs=spec,
+        )
+        x = jax.random.randint(jax.random.key(0), (T, rows, LANES), 0,
+                               1 << 30, jnp.int32)
+        idx = jax.random.randint(jax.random.key(1), (T, rows, LANES), 0, hi,
+                                 jnp.int32)
+        try:
+            got = np.asarray(f(x, idx))
+            ref = x
+            for _ in range(reps):
+                ref = jnp.take_along_axis(ref, idx, axis=axis)
+            ok = np.array_equal(got, np.asarray(ref))
+            dt = timing.measure(f, x, idx, iters=3)
+            _report(f"gather axis={axis} ok={ok}", dt,
+                    T * rows * LANES * reps)
+        except Exception as e:
+            print(f"gather axis={axis}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:160]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("probe", choices=["network", "merge", "pass_full",
+                                      "starts", "starts_rows", "matmul",
+                                      "gather"])
+    ap.add_argument("--log2n", type=int, default=26)
+    ap.add_argument("--k", type=int, default=1 << 14)
+    ap.add_argument("--nb", type=int, default=4)
+    ap.add_argument("--r", type=int, default=32)
+    ap.add_argument("--merge-from", type=int, default=512)
+    ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--starts-rows", action="store_true")
+    ap.add_argument("--s", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.probe == "network":
+        probe_network(args.log2n, args.k, args.nb)
+    elif args.probe == "merge":
+        probe_network(args.log2n, args.k, args.nb,
+                      merge_from=args.merge_from)
+    elif args.probe == "pass_full":
+        probe_pass_full(args.log2n, r=args.r, starts_rows=args.starts_rows,
+                        s=args.s)
+    elif args.probe == "starts":
+        probe_starts(args.r, "full")
+    elif args.probe == "starts_rows":
+        probe_starts(args.r, "rows")
+    elif args.probe == "matmul":
+        probe_matmul(args.dtype)
+    elif args.probe == "gather":
+        probe_gather()
+
+
+if __name__ == "__main__":
+    main()

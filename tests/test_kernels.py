@@ -135,3 +135,29 @@ def test_partition_pass_counts_and_runs():
             want = np.sort(tile[(tile >> 29) == d])
             assert counts[t, d] == want.size
             np.testing.assert_array_equal(out[t, d, : want.size], want)
+
+
+def test_partition_starts_rows_matches_default():
+    """Row-hierarchical starts (digit monotone in a key-sorted tile) must
+    be bit-identical to the full-tile compare-reduce starts."""
+    import numpy as np
+    from tpusort.kernels.partition import partition_pass_fused
+
+    rng = np.random.default_rng(5)
+    T, K, r, s = 8, 2048, 8, 384
+    for nplanes in (1, 2):
+        planes = [
+            jnp.asarray(rng.integers(0, 1 << 32, (T, K), dtype=np.int64)
+                        .astype(np.uint32))
+            for _ in range(nplanes)
+        ]
+        n = T * K - 777
+        a, ca = partition_pass_fused(
+            planes, [], None, r=r, s=s, lo_bit=32 * nplanes - 3, width=3,
+            n=n, t_seg=T, interpret=True)
+        b, cb = partition_pass_fused(
+            planes, [], None, r=r, s=s, lo_bit=32 * nplanes - 3, width=3,
+            n=n, t_seg=T, starts_rows=True, interpret=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))

@@ -135,6 +135,7 @@ def _emit_runs(
     r: int,
     s: int,
     exchanged: bool = False,
+    scratch_prewritten: bool = False,
 ):
     """Slice R runs per tile out of the sorted scratch into padded outputs,
     and write the counts row (the validity carrier — downstream validity is
@@ -143,9 +144,10 @@ def _emit_runs(
     exchange); otherwise (nb, r*srows, LANES) tile-major."""
     rows = sorted_arrays[0].shape[1]
     srows = s // LANES
-    for sc, a in zip(scratch, sorted_arrays):
-        for b in range(nb):
-            sc[b, :rows] = a[b]
+    if not scratch_prewritten:
+        for sc, a in zip(scratch, sorted_arrays):
+            for b in range(nb):
+                sc[b, :rows] = a[b]
     for b in range(nb):
         for d in range(r):
             st = starts[b][d]
@@ -176,6 +178,7 @@ def _fused_kernel(
     exchanged: bool,
     digit_input: bool = False,
     splitter_input: bool = False,
+    starts_rows: bool = False,
 ):
     # refs layout:
     #   ins:  [digit (if digit_input)], planes x n_planes,
@@ -320,16 +323,48 @@ def _fused_kernel(
             sorted_digit = _extract_bits_arrays(
                 sorted_all[:n_planes], lo_bit, width
             )
-            # starts from the sorted tile: garbage (digit == r-1 region)
-            # only affects the top run, whose count is clamped by n_valid
+            rows_k = sorted_all[0].shape[1]
+            if starts_rows:
+                # row-hierarchical starts: the digit sequence is monotone
+                # in a key-sorted tile, so the run boundary for digit d is
+                # located by (a) a reduce over the (rows,) row-LAST digits
+                # (1 vreg instead of the whole tile) and (b) a residual
+                # count inside the single boundary row, read from scratch
+                # at a dynamic row index.  ~5-10x less vector work than the
+                # full-tile compare-reduces at r=32; enables r=128.
+                for sc, a in zip(scratch, sorted_all):
+                    for b in range(nb):
+                        sc[b, :rows_k] = a[b]
             for b in range(nb):
                 st = [jnp.int32(0)]
-                for d in range(1, r):
-                    st.append(
-                        jnp.sum(
-                            (sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32)
+                if starts_rows:
+                    rl = sorted_digit[b][:, LANES - 1 : LANES]  # (rows, 1)
+                    for d in range(1, r):
+                        rb_ = jnp.sum(
+                            (rl < jnp.uint32(d)).astype(jnp.int32))
+                        # rb_ == rows (all rows below d) clamps to the last
+                        # row, whose residual is then a full 128 -> start=K
+                        rb_c = jnp.minimum(rb_, rows_k - 1)
+                        row_planes = [
+                            scratch[p].at[b][pl.ds(rb_c, 1), :]
+                            for p in range(n_planes)
+                        ]
+                        dr = _extract_bits_arrays(
+                            [rp[...] for rp in row_planes], lo_bit, width)
+                        resid = jnp.sum(
+                            (dr < jnp.uint32(d)).astype(jnp.int32))
+                        st.append(rb_c * LANES + resid)
+                else:
+                    # starts from the sorted tile: garbage (digit == r-1
+                    # region) only affects the top run, whose count is
+                    # clamped by n_valid
+                    for d in range(1, r):
+                        st.append(
+                            jnp.sum(
+                                (sorted_digit[b] < jnp.uint32(d)).astype(
+                                    jnp.int32)
+                            )
                         )
-                    )
                 cn = [st[d + 1] - st[d] for d in range(r - 1)]
                 cn.append(n_valid[b] - st[r - 1])
                 starts.append(st)
@@ -337,6 +372,7 @@ def _fused_kernel(
         _emit_runs(
             sorted_all, starts, counts, outs, counts_ref,
             scratch, nb=nb, r=r, s=s, exchanged=exchanged,
+            scratch_prewritten=bool(starts_rows and not splitter_input),
         )
         return
 
@@ -388,6 +424,7 @@ def partition_pass_fused(
     splitters: Optional[jax.Array] = None,
     splitter_fracs: Optional[jax.Array] = None,
     batch: int = 4,
+    starts_rows: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """One fused MSD partition pass over (T, K) tiles.
@@ -512,6 +549,7 @@ def partition_pass_fused(
             exchanged=(t_seg is not None),
             digit_input=(digit is not None),
             splitter_input=(splitters is not None),
+            starts_rows=starts_rows,
         ),
         out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
         grid=(T // nb,),
