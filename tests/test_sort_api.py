@@ -226,3 +226,38 @@ def test_size_sweep_geometric():
         got = np.asarray(tpusort.sort(keys))
         np.testing.assert_array_equal(got, np.sort(np.asarray(keys)))
         n = int(n * (10 ** 0.25))
+
+
+def test_sort_pairs_lsb_in_value():
+    """NUM_LSB_IN_VALUE analog: sort by (key || low value bytes), full
+    value carried (gpu_radix_sort.h:195-206)."""
+    n = 20_000
+    rng = np.random.default_rng(77)
+    # few distinct keys so the value bytes decide most of the order
+    keys = jnp.asarray(rng.integers(0, 8, n).astype(np.uint32))
+    vals = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                       .astype(np.uint32))
+    for b in (1, 2, 4):
+        gk, gv = tpusort.sort_pairs_lsb_in_value(keys, vals, b)
+        gk, gv = np.asarray(gk), np.asarray(gv)
+        mask = np.uint64((1 << (8 * b)) - 1)
+        comp = (np.asarray(keys).astype(np.uint64) << np.uint64(32)) | (
+            np.asarray(vals).astype(np.uint64) & mask)
+        order = np.argsort(comp, kind="stable")
+        got_comp = (gk.astype(np.uint64) << np.uint64(32)) | (
+            gv.astype(np.uint64) & mask)
+        np.testing.assert_array_equal(got_comp, np.sort(comp))
+        # permutation check: multiset of (key, full value) pairs preserved
+        got_pairs = (gk.astype(np.uint64) << np.uint64(32)) | gv.astype(
+            np.uint64)
+        want_pairs = (np.asarray(keys).astype(np.uint64) << np.uint64(32)
+                      ) | np.asarray(vals).astype(np.uint64)
+        np.testing.assert_array_equal(np.sort(got_pairs),
+                                      np.sort(want_pairs))
+    # descending
+    gk, gv = tpusort.sort_pairs_lsb_in_value(keys, vals, 4, descending=True)
+    comp = (np.asarray(keys).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(vals).astype(np.uint64)
+    got = (np.asarray(gk).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(gv).astype(np.uint64)
+    np.testing.assert_array_equal(got, np.sort(comp)[::-1])

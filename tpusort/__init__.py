@@ -16,6 +16,7 @@ from tpusort.api import (
     sort_keys_descending,
     sort_pairs,
     sort_pairs_descending,
+    sort_pairs_lsb_in_value,
     sort_planes,
     unstable_sort_keys,
     unstable_sort_pairs,

@@ -42,6 +42,7 @@ __all__ = [
     "sort_planes",
     "unstable_sort_keys",
     "unstable_sort_pairs",
+    "sort_pairs_lsb_in_value",
     "register_engine",
     "available_engines",
 ]
@@ -563,3 +564,52 @@ def sort_planes(
 
 def unstable_sort_pairs(keys, values, **kw):
     return sort(keys, values, stable=False, **kw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_lsb_bytes", "descending")
+)
+def _lsb_in_value_impl(keys, values, *, num_lsb_bytes: int,
+                       descending: bool):
+    from tpusort.ops.msd import sort_twiddled_msd
+
+    planes, traits = _dtypes.twiddle_in(keys, descending=False)
+    if traits.planes != 1:
+        raise NotImplementedError(
+            "lsb-in-value needs a free plane slot: 32-bit key dtypes only"
+        )
+    v_u32 = jnp.asarray(values).view(jnp.uint32)
+    mask = jnp.uint32((1 << (8 * num_lsb_bytes)) - 1) \
+        if num_lsb_bytes < 4 else jnp.uint32(0xFFFFFFFF)
+    comp = [planes[0], v_u32 & mask]
+    if descending:
+        comp = [~p for p in comp]
+    sp, sv = sort_twiddled_msd(
+        tuple(comp), (v_u32,), begin_bit=0, end_bit=64, total_bits=64,
+        stable=False,
+    )
+    k_plane = ~sp[0] if descending else sp[0]
+    out_keys = _dtypes.twiddle_out((k_plane,), traits, descending=False,
+                                   dtype=keys.dtype)
+    return out_keys, sv[0].view(jnp.asarray(values).dtype)
+
+
+def sort_pairs_lsb_in_value(
+    keys, values, num_lsb_bytes: int = 4, *, descending: bool = False
+):
+    """Unstable pair sort by the composite key (key || low
+    ``num_lsb_bytes`` bytes of the value).
+
+    The analog of the reference's ``NUM_LSB_IN_VALUE`` capability
+    (``msb/src/sort/gpu_radix_sort.h:195-206,367-368``: low-order key bytes
+    stored in the value word, sorted via the pointer-swap trick).  Here the
+    masked value bytes simply ride as the second key plane of the raw
+    2-plane network, and the full value is carried as payload.
+    """
+    if not 1 <= num_lsb_bytes <= 4:
+        raise ValueError("num_lsb_bytes must be in 1..4")
+    if jnp.dtype(jnp.asarray(values).dtype).itemsize != 4:
+        raise ValueError("values must be a 32-bit dtype")
+    return _lsb_in_value_impl(
+        keys, values, num_lsb_bytes=num_lsb_bytes, descending=descending
+    )
