@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
 import sys
 import time
 
@@ -37,6 +38,23 @@ from tpusort.utils import timing
 
 def _report(name, dt, n_items, unit="elem"):
     print(f"{name}: {dt*1e3:9.3f} ms -> {n_items/dt/1e9:8.3f} G{unit}/s")
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _scaled(t: int, small: int = 4) -> int:
+    """Probe tile count: full on TPU, tiny for off-TPU interpret checks."""
+    return t if _on_tpu() else small
+
+
+def _measure(f, *args):
+    """Time on TPU; off-TPU just run once (correctness smoke)."""
+    if _on_tpu():
+        return timing.measure(f, *args, iters=3)
+    f(*args)
+    return float("nan")
 
 
 def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0):
@@ -184,6 +202,212 @@ def probe_matmul(dtype_name: str):
           f"{macs/dt/1e12:.2f} T MAC/s")
 
 
+def _cumsum_lanes(x):
+    """Inclusive prefix sum along the lane axis (log-shift adds)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    for kk in range(LANES.bit_length() - 1):
+        d = 1 << kk
+        sh = pltpu.roll(x, d, axis=x.ndim - 1)
+        x = x + jnp.where(lane >= d, sh, 0)
+    return x
+
+
+def _cumsum_sublanes(x):
+    """Inclusive prefix sum along the sublane axis."""
+    rows = x.shape[x.ndim - 2]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    for kk in range(rows.bit_length() - 1):
+        d = 1 << kk
+        sh = pltpu.roll(x, d, axis=x.ndim - 2)
+        x = x + jnp.where(row >= d, sh, 0)
+    return x
+
+
+def probe_rankdest(r: int, nb: int = 4, check: bool = False):
+    """Counting-rank destination computation WITHOUT apply: per-element
+    padded-output destination d*S + cross_row_prefix + within_row_rank via
+    R masked log-shift cumsums (no sort network, no MXU).  If this runs
+    much cheaper than the sort network, the remaining blocker for a
+    counting pass is only the apply/permute step (see thin_mm / gather)."""
+    k = 1 << 14
+    rows = k // LANES
+    T = _scaled(256, nb)
+    width = r.bit_length() - 1
+
+    def kern(x_ref, o_ref):
+        x = x_ref[...]
+        for b in range(nb):
+            d = x[b] >> jnp.uint32(32 - width)
+            dest = jnp.zeros((rows, LANES), jnp.int32)
+            rs = jnp.zeros((), jnp.int32)
+            for rr in range(r):
+                m = (d == jnp.uint32(rr)).astype(jnp.int32)
+                pc = _cumsum_lanes(m) - m          # excl. within row
+                rowtot = pc[:, LANES - 1 : LANES] + m[:, LANES - 1 : LANES]
+                rows_excl = _cumsum_sublanes(rowtot) - rowtot  # (rows,1)
+                dest = jnp.where(m == 1, rs + rows_excl + pc, dest)
+                rs = rs + jnp.sum(m)
+            o_ref[b] = dest
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.int32),
+        grid=(T // nb,),
+        in_specs=[spec], out_specs=spec,
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    if check:
+        got = np.asarray(f(x))[0]
+        dd = np.asarray(x)[0].reshape(-1) >> (32 - width)
+        want = np.zeros_like(dd, dtype=np.int64)
+        off = 0
+        for rr in range(r):
+            sel = dd == rr
+            want[sel] = off + np.arange(sel.sum())
+            off += int(sel.sum())
+        print("rankdest check:", np.array_equal(want, got.reshape(-1)))
+    dt = _measure(f, x)
+    _report(f"rankdest r={r} nb={nb}", dt, T * k)
+
+
+def probe_thin_mm(w: int):
+    """(128,128) @ (128,w) matmul issue rate — the cost model for one-hot
+    chunk permutes (permuted_chunk = Q @ X, X = w columns of 16-bit halves
+    as f32).  Viable only if Mosaic pipelines thin matmuls well."""
+    reps = 256
+
+    def kern(q_ref, x_ref, o_ref):
+        q, x = q_ref[...], x_ref[...]
+        acc = jnp.zeros((LANES, w), jnp.float32)
+        for _ in range(reps):
+            acc = acc + jax.lax.dot_general(
+                q, x, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x = x + jnp.float32(1.0)
+        o_ref[...] = acc
+
+    G = 64
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((LANES, w), jnp.float32),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((LANES, LANES), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((LANES, w), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((LANES, w), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    q = jnp.eye(LANES, dtype=jnp.float32)
+    x = jnp.ones((LANES, w), jnp.float32)
+    dt = _measure(f, q, x)
+    n_mm = G * reps
+    print(f"thin_mm w={w}: {dt*1e3:.3f} ms -> {dt/n_mm*1e9:.1f} ns/matmul "
+          f"({n_mm*LANES*LANES*w/dt/1e12:.3f} T MAC/s)")
+
+
+def probe_rowperm_mm(check: bool = False):
+    """Data-dependent SUBLANE (row-level) permutation via one-hot matmul:
+    out = Q @ X with Q[i,j] = (destrow[j] == i), built in-kernel from a
+    (1,128) dest vector with iota compares — no gather.  Row-granular
+    permutes are ~128 MACs/elem if this lowers; lane-granular movement
+    stays the hard part."""
+    rows = LANES
+    nb = 4
+    T, reps = _scaled(256, nb), 8
+
+    def kern(x_ref, d_ref, o_ref):
+        for b in range(nb):
+            x = x_ref[b].astype(jnp.float32)
+            dest = d_ref[b].astype(jnp.int32)      # (1, 128) target rows
+            for _ in range(reps):
+                q = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+                     == dest).astype(jnp.float32)
+                x = jax.lax.dot_general(
+                    q, x, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            o_ref[b] = x.astype(jnp.uint32)
+
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        grid=(T // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    x = jax.random.randint(jax.random.key(0), (T, rows, LANES), 0, 1 << 22,
+                           jnp.int32).astype(jnp.uint32)
+    perm = np.stack([np.random.default_rng(i).permutation(LANES)
+                     for i in range(T)]).astype(np.int32)[:, None, :]
+    d = jnp.asarray(perm).astype(jnp.uint32)
+    if check:
+        got = np.asarray(f(x, d))[0]
+        ref = np.asarray(x)[0]
+        for _ in range(reps):
+            out = np.zeros_like(ref)
+            out[perm[0, 0]] = ref
+            ref = out
+        print("rowperm check:", np.array_equal(got, ref))
+    dt = _measure(f, x, d)
+    _report("rowperm_mm (per permute)", dt / reps, T * rows * LANES)
+
+
+def probe_dynstore(w_rows: int = 2, check: bool = False):
+    """Stores at dynamic sublane offsets into the output ref — the pooled
+    per-(grid-step,digit) emit needs out[pl.ds(dyn_off, W)] = window."""
+    rows = 128
+    nb = 4
+    T, nwin = _scaled(256, nb), 64
+
+    def kern(x_ref, off_ref, o_ref):
+        for b in range(nb):
+            x = x_ref[b]
+            o_ref[b, : rows] = x                 # baseline fill
+            for i in range(nwin):
+                off = off_ref[b, 0, i]
+                win = x[i * 2 : i * 2 + w_rows, :]
+                o_ref[b, pl.ds(off, w_rows), :] = win
+
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows + w_rows, LANES),
+                                       jnp.uint32),
+        grid=(T // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, nwin), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, rows + w_rows, LANES),
+                               lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    offs = np.random.default_rng(0).integers(
+        0, rows, size=(T, 1, nwin)).astype(np.int32)
+    o = jnp.asarray(offs)
+    if check:
+        got = np.asarray(f(x, o))[0]
+        ref = np.zeros((rows + w_rows, LANES), np.uint32)
+        ref[:rows] = np.asarray(x)[0]
+        for i in range(nwin):
+            ref[offs[0, 0, i] : offs[0, 0, i] + w_rows] = np.asarray(
+                x)[0][i * 2 : i * 2 + w_rows]
+        print("dynstore check:", np.array_equal(got, ref))
+    dt = _measure(f, x, o)
+    print(f"dynstore w={w_rows}: {dt*1e3:.3f} ms -> "
+          f"{dt/(T*nwin)*1e9:.1f} ns/window")
+
+
 def probe_gather():
     """Does Mosaic lower take_along_axis on sublanes / lanes at all?"""
     rows, T, reps = 128, 64, 4
@@ -224,10 +448,26 @@ def probe_gather():
 
 
 def main():
+    # The environment's sitecustomize force-selects the TPU platform and
+    # overrides even JAX_PLATFORMS=cpu from the env; honor an explicit cpu
+    # request programmatically BEFORE the first device query.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # Off-TPU smoke runs (correctness checks only): force interpret mode.
+    if jax.default_backend() != "tpu":
+        real_call = pl.pallas_call
+
+        def _interp_call(*a, **kw):
+            kw["interpret"] = True
+            return real_call(*a, **kw)
+
+        pl.pallas_call = _interp_call
+
     ap = argparse.ArgumentParser()
     ap.add_argument("probe", choices=["network", "merge", "pass_full",
                                       "starts", "starts_rows", "matmul",
-                                      "gather"])
+                                      "gather", "rankdest", "thin_mm",
+                                      "rowperm_mm", "dynstore"])
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -236,6 +476,8 @@ def main():
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--starts-rows", action="store_true")
     ap.add_argument("--s", type=int, default=0)
+    ap.add_argument("--w", type=int, default=2)
+    ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
     if args.probe == "network":
@@ -254,6 +496,14 @@ def main():
         probe_matmul(args.dtype)
     elif args.probe == "gather":
         probe_gather()
+    elif args.probe == "rankdest":
+        probe_rankdest(args.r, nb=args.nb, check=args.check)
+    elif args.probe == "thin_mm":
+        probe_thin_mm(args.w)
+    elif args.probe == "rowperm_mm":
+        probe_rowperm_mm(check=args.check)
+    elif args.probe == "dynstore":
+        probe_dynstore(w_rows=args.w, check=args.check)
 
 
 if __name__ == "__main__":
