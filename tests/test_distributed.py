@@ -169,3 +169,42 @@ def test_global_sort_u64_pairs(mesh):
     gv = np.asarray(ov)
     assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
     np.testing.assert_array_equal(orig[gv], got)
+
+
+def test_geometry_2e32_traces(mesh):
+    """BASELINE config #5 geometry: a 2^32-key global sort (2^29 per
+    device x 8) must TRACE with 32-bit index math — global counts
+    (splitter `below`, tie prefixes) are uint32, mirroring the reference's
+    own unsigned-int ceiling (gpu_radix_sort.h:190).  Trace-only: no
+    buffers are materialized, so this runs on the CPU mesh."""
+    d = 8
+    n = 1 << 32
+    n_shard = n // d
+    capacity = gs._capacity_for(n_shard, d, 4.0, 2)
+    shard_fn = gs._make_sharded_body(
+        mesh, "x", nplanes=1, n_values=1, n_shard=n_shard, d=d,
+        capacity=capacity, chunks=2,
+    )
+    out = jax.eval_shape(
+        shard_fn,
+        jax.ShapeDtypeStruct((n,), jnp.uint32),
+        jax.ShapeDtypeStruct((n,), jnp.uint32),
+    )
+    assert tuple(o.shape for o in out) == ((n,), (n,))
+
+
+def test_geometry_2e32_u64_traces(mesh):
+    """Same at 2-plane (64-bit) keys with payload: 3 operands, chunks=4."""
+    d = 8
+    n = 1 << 32
+    n_shard = n // d
+    capacity = gs._capacity_for(n_shard, d, 4.0, 4)
+    shard_fn = gs._make_sharded_body(
+        mesh, "x", nplanes=2, n_values=1, n_shard=n_shard, d=d,
+        capacity=capacity, chunks=4,
+    )
+    out = jax.eval_shape(
+        shard_fn,
+        *[jax.ShapeDtypeStruct((n,), jnp.uint32) for _ in range(3)],
+    )
+    assert tuple(o.shape for o in out) == ((n,),) * 3

@@ -82,12 +82,21 @@ def _select_splitters(
     within a plane, 32 rounds of count+psum refine all boundaries in
     parallel; finished planes constrain deeper rounds through an exact
     equality match mask.  Returns (splitter planes [(D-1,) uint32 ...],
-    below (D-1,) int32).
+    below (D-1,) uint32).
+
+    Global counts (``below``, ``c0``, ``ranks``) are uint32: they range up
+    to the GLOBAL n-1, which exceeds int32 beyond 2^31 total keys, and this
+    backend cannot materialize 64-bit arrays.  uint32 carries the
+    reference's own single-device ceiling (2^32-1 keys,
+    ``msb/src/sort/gpu_radix_sort.h:190`` ``IndexT = unsigned int``) to the
+    distributed total.  ``ranks - below`` stays non-negative by
+    construction (below only grows while staying <= rank), so the unsigned
+    compare is exact.
     """
     nb = d - 1
-    ranks = (jnp.arange(1, d, dtype=jnp.int32)) * n_shard
+    ranks = (jnp.arange(1, d, dtype=jnp.uint32)) * jnp.uint32(n_shard)
     n = planes[0].shape[0]
-    below = jnp.zeros((nb,), jnp.int32)
+    below = jnp.zeros((nb,), jnp.uint32)
     match = jnp.ones((n, nb), bool)
     prefixes: List[jax.Array] = []
     for pw in planes:
@@ -98,7 +107,7 @@ def _select_splitters(
             shifted = pw >> jnp.uint32(bit)
             local = (
                 (shifted[:, None] == cand0[None, :]) & match
-            ).sum(0, dtype=jnp.int32)
+            ).sum(0, dtype=jnp.uint32)
             c0 = jax.lax.psum(local, axis)
             choose0 = (ranks - below) < c0
             prefix = jnp.where(choose0, cand0, cand0 + jnp.uint32(1))
@@ -160,9 +169,11 @@ def _destinations_sorted(
     ]) if len(splitters[0]) > 1 else jnp.ones((nb,), bool)
     t_local = jnp.where(first_of_group, jnp.stack(eq_counts), 0)
     t_all = jax.lax.all_gather(t_local, axis)                # (D, nb)
+    # global tie counts below this shard sum across devices -> uint32 (the
+    # global total can exceed int32; see _select_splitters)
     p_r = jnp.where(
         (jnp.arange(d) < r)[:, None], t_all, 0
-    ).sum(0, dtype=jnp.int32)                                # (nb,)
+    ).sum(0, dtype=jnp.uint32)                               # (nb,)
 
     idx = jnp.arange(n, dtype=jnp.int32)
     neq = functools.reduce(
@@ -172,7 +183,10 @@ def _destinations_sorted(
     run_start = jax.lax.cummax(jnp.where(neq, idx, 0))
     j = idx - run_start                                      # tie rank
 
-    dest_tie = (below[tie_idx] + p_r[tie_idx] + j) // n_shard
+    dest_tie = (
+        (below[tie_idx] + p_r[tie_idx] + j.astype(jnp.uint32))
+        // jnp.uint32(n_shard)
+    ).astype(jnp.int32)
     dest = jnp.clip(jnp.where(is_tie, dest_tie, gt), 0, d - 1)
     starts = jnp.searchsorted(dest, jnp.arange(d), side="left").astype(
         jnp.int32
