@@ -202,25 +202,10 @@ def probe_matmul(dtype_name: str):
           f"{macs/dt/1e12:.2f} T MAC/s")
 
 
-def _cumsum_lanes(x):
-    """Inclusive prefix sum along the lane axis (log-shift adds)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    for kk in range(LANES.bit_length() - 1):
-        d = 1 << kk
-        sh = pltpu.roll(x, d, axis=x.ndim - 1)
-        x = x + jnp.where(lane >= d, sh, 0)
-    return x
-
-
-def _cumsum_sublanes(x):
-    """Inclusive prefix sum along the sublane axis."""
-    rows = x.shape[x.ndim - 2]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    for kk in range(rows.bit_length() - 1):
-        d = 1 << kk
-        sh = pltpu.roll(x, d, axis=x.ndim - 2)
-        x = x + jnp.where(row >= d, sh, 0)
-    return x
+from tpusort.kernels.scanhist import (       # noqa: E402
+    cumsum_lanes as _cumsum_lanes,
+    cumsum_sublanes as _cumsum_sublanes,
+)
 
 
 def probe_rankdest(r: int, nb: int = 4, check: bool = False):

@@ -158,3 +158,51 @@ def test_log_module():
     with tlog.timed("unit-test block", level=logging.INFO):
         pass
     tlog.set_level("WARNING")
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.uint32, np.float32])
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_prefix_sum_pallas_kernel(dtype, exclusive):
+    """The sequential-grid carry kernel (CUB DeviceScan analog) must match
+    jnp.cumsum exactly across tile boundaries and ragged tails."""
+    from tpusort.kernels.scanhist import prefix_sum_tiles
+
+    rng = np.random.default_rng(7)
+    for n in [1, 128 * 8, 128 * 8 * 3 + 77]:
+        if dtype == np.float32:
+            x = rng.integers(0, 1 << 10, n).astype(np.float32)
+        else:
+            x = rng.integers(0, 1 << 20, n).astype(dtype)
+        got = np.asarray(prefix_sum_tiles(
+            jnp.asarray(x), exclusive=exclusive, tile_rows=8,
+            interpret=True))
+        want = np.cumsum(x, dtype=dtype)
+        if exclusive:
+            want = want - x
+        np.testing.assert_array_equal(got, want)
+
+
+def test_scan_ops_pallas_route():
+    """ops.scan routes 1-D sums through the kernel (interpret here)."""
+    x = jnp.asarray(np.arange(128 * 8 * 2, dtype=np.int32))
+    got = ts.inclusive_sum(x, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.cumsum(np.asarray(x)))
+    got = ts.exclusive_sum(x, use_pallas=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.cumsum(np.asarray(x)) - np.asarray(x))
+
+
+def test_digit_histogram_pallas_kernel():
+    """The VMEM accumulator kernel must match the one-hot path."""
+    from tpusort.kernels.scanhist import digit_histogram_tiles
+
+    rng = np.random.default_rng(11)
+    n = 128 * 8 * 4
+    x = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    for shift, bits in [(27, 5), (0, 3), (24, 8)]:
+        got = np.asarray(digit_histogram_tiles(
+            jnp.asarray(x), shift, bits, tile_rows=8, interpret=True))
+        want = np.bincount((x >> shift) & ((1 << bits) - 1),
+                           minlength=1 << bits).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
