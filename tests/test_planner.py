@@ -56,3 +56,26 @@ def test_presorted_flagged_by_sortedness():
 def test_tiny_sample_never_flags():
     s = np.zeros(100, np.uint32)
     assert not planner.predict_radix_overflow(s, PLAN, N)
+
+
+def test_leaf_profile_keys_plan_selection():
+    """The GetSortKernel analog (gpu_sort_config.h:250-264): the packed
+    profile must keep rem_width + idx_bits + 1 <= 32 (the packed-sortkey
+    leaf's word budget) by preferring an extra pass over the ~5x multikey
+    XLA leaf; the raw profile is width-independent and keeps the shallower
+    plan."""
+    from tpusort.ops.msd import plan_msd
+
+    n = 1 << 24
+    raw = plan_msd(n, 0, 32, leaf_profile="raw")
+    packed = plan_msd(n, 0, 32, leaf_profile="packed")
+    assert raw is not None and packed is not None
+    assert len(raw.passes) == 2 and raw.rem_width == 22
+    assert len(packed.passes) == 3
+
+    def idx_bits(seg):
+        b = (seg - 1).bit_length()
+        return b + (1 if seg >= (1 << b) else 0)
+
+    assert packed.rem_width + idx_bits(packed.seg) + 1 <= 32
+    assert raw.rem_width + idx_bits(raw.seg) + 1 > 32

@@ -85,6 +85,7 @@ def plan_msd(
     s1: Optional[int] = None,
     s: Optional[int] = None,
     leaf_max: Optional[int] = None,
+    leaf_profile: str = "raw",
 ) -> Optional[MsdPlan]:
     """Compute a static pass plan, or None if no feasible plan exists.
 
@@ -94,6 +95,14 @@ def plan_msd(
         segments (T_seg multiple of K/S_prev runs-per-tile, segments multiples
         of K);
       * the final segments are <= leaf_max and multiples of 128.
+
+    ``leaf_profile`` keys the cost model on the leaf kernel VARIANT the
+    remaining bit width will select (the ``GetSortKernel`` analog,
+    ``msb/src/sort/gpu_sort_config.h:250-264``): ``"raw"`` paths sort the
+    raw key planes (width-independent); ``"packed"`` paths pack
+    (rem, idx) into one sortkey word and fall to the ~5x multikey XLA
+    leaf when ``rem_width + idx_bits + 1 > 32`` — so near that boundary
+    the search trades an extra partition pass against the slow leaf.
     """
     import math
 
@@ -193,7 +202,21 @@ def plan_msd(
         f = merge_staged_factor(seg)
         staged = f and (seg // f) % run == 0
         eff = seg * 1.05 if staged else pow2 * 1.0
-        total += stages * plan.n_segments * eff
+        # leaf variant keyed on the remaining bit width (GetSortKernel
+        # analog): the packed-sortkey network needs rem + idx (+ tie
+        # headroom) to fit one u32 word; past that the leaf drops to the
+        # multikey XLA sort (~5x slower per element).  Raw-key leaves
+        # (keys-only / unstable pairs / composite stable) sort the key
+        # planes themselves — width-independent.
+        leaf_mult = 1.0
+        if leaf_profile == "packed":
+            idx_bits = (plan.seg - 1).bit_length()
+            if plan.seg >= (1 << idx_bits):
+                idx_bits += 1
+            leaf_mult = (
+                5.0 if plan.rem_width + idx_bits + 1 > 32 else 1.15
+            )
+        total += stages * plan.n_segments * eff * leaf_mult
         return total
 
     best = None
@@ -515,6 +538,18 @@ def sort_twiddled_msd(
     )
     kwargs = dict(plan_kwargs or {})
     min_n = kwargs.pop("min_n", 1 << 16)
+    # leaf-variant profile for the cost model: raw-key paths (keys-only /
+    # unstable pairs / composite stable, full-range) have width-independent
+    # leaves; everything else packs (rem, idx) and pays by remaining bits
+    raw_leaf = (
+        (use_pallas if use_pallas is not None
+         else jax.default_backend() == "tpu")
+        and len(planes) <= 2
+        and (not values or not stable)
+        and begin_bit == 0
+        and end_bit == total_bits == 32 * len(planes)
+    )
+    kwargs.setdefault("leaf_profile", "raw" if raw_leaf else "packed")
     plan = None
     if n >= min_n:
         plan = plan_msd(n, begin_bit, end_bit, **kwargs)
