@@ -97,12 +97,11 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0):
 
 
 def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
-                    s: int = 0):
+                    s: int = 0, k: int = 1 << 14):
     """The production fused partition pass at production geometry."""
     from tpusort.kernels.partition import partition_pass_fused
 
     n = 1 << log2n
-    k = 1 << 14
     if not s:
         s = ((3 * k // (2 * r)) // 128) * 128
     width = r.bit_length() - 1
@@ -472,7 +471,7 @@ def main():
                       merge_from=args.merge_from)
     elif args.probe == "pass_full":
         probe_pass_full(args.log2n, r=args.r, starts_rows=args.starts_rows,
-                        s=args.s)
+                        s=args.s, k=args.k)
     elif args.probe == "starts":
         probe_starts(args.r, "full")
     elif args.probe == "starts_rows":
