@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-2 on-chip measurement sequence. Run from /root/repo when the TPU
+# recovers; each step is a separate small compile unit under timeout so a
+# wedged remote-compile service cannot eat the session. Appends to
+# benchmarks/results/roundtwo_drive.log.
+cd /root/repo
+LOG=benchmarks/results/roundtwo_drive.log
+run() {
+  echo "=== $* === $(date +%H:%M:%S)" | tee -a "$LOG"
+  timeout "${T:-420}" "$@" 2>&1 | grep -vE "WARNING|^I[0-9]" | tee -a "$LOG"
+}
+
+# 0) recovery check
+T=120 run python -c "import jax,jax.numpy as jnp,numpy as np; print('TPU OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))" || exit 1
+
+# 1) architecture-decision probes (cheap, decisive)
+run python benchmarks/stage_probe.py gather
+run python benchmarks/stage_probe.py dynstore --check
+run python benchmarks/stage_probe.py thin_mm --w 2
+run python benchmarks/stage_probe.py thin_mm --w 8
+run python benchmarks/stage_probe.py thin_mm --w 128
+run python benchmarks/stage_probe.py batch_mm --w 2
+run python benchmarks/stage_probe.py batch_mm --w 8
+run python benchmarks/stage_probe.py rowperm_mm --check
+run python benchmarks/stage_probe.py rankdest --r 16
+run python benchmarks/stage_probe.py rankdest --r 32
+run python benchmarks/stage_probe.py matmul --dtype bf16
+run python benchmarks/stage_probe.py matmul --dtype s8
+run python benchmarks/stage_probe.py matmul --dtype f32
+
+# 2) starts variants (r=128 enabler measurement)
+run python benchmarks/stage_probe.py starts --r 32
+run python benchmarks/stage_probe.py starts_rows --r 32
+run python benchmarks/stage_probe.py starts --r 128
+run python benchmarks/stage_probe.py starts_rows --r 128
+
+# 3) pass-level variants
+T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32
+T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --starts-rows
+T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 8192
+T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 32768
+
+# 4) headline + ceilings
+T=900 run python bench.py --log2n 28
+T=900 run python bench.py --log2n 29
+T=1200 run python bench.py --log2n 30
+T=900 run python bench.py --log2n 26 --pairs --unstable
+T=900 run python bench.py --log2n 26 --pairs
+
+echo "=== drive complete $(date) ===" | tee -a "$LOG"

@@ -292,6 +292,43 @@ def probe_thin_mm(w: int):
           f"({n_mm*LANES*LANES*w/dt/1e12:.3f} T MAC/s)")
 
 
+def probe_batch_mm(w: int):
+    """Batched (b,128,128)@(b,128,w) dot_general — does Mosaic lower batch
+    dims, and at what rate?  Decides whether 128 per-chunk one-hot
+    permutes can issue as one op instead of a Python loop."""
+    b = 128
+
+    def kern(q_ref, x_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            q_ref[...], x_ref[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    G = 64
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, LANES, w), jnp.float32),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((b, LANES, LANES), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((b, LANES, w), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b, LANES, w), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    q = jnp.broadcast_to(jnp.eye(LANES, dtype=jnp.float32),
+                         (b, LANES, LANES))
+    x = jnp.ones((b, LANES, w), jnp.float32)
+    try:
+        dt = _measure(f, q, x)
+    except Exception as e:
+        print(f"batch_mm w={w}: FAIL {type(e).__name__}: {str(e)[:160]}")
+        return
+    n_mm = G * b
+    print(f"batch_mm w={w}: {dt*1e3:.3f} ms -> {dt/n_mm*1e9:.1f} ns/matmul "
+          f"({n_mm*LANES*LANES*w/dt/1e12:.3f} T MAC/s)")
+
+
 def probe_rowperm_mm(check: bool = False):
     """Data-dependent SUBLANE (row-level) permutation via one-hot matmul:
     out = Q @ X with Q[i,j] = (destrow[j] == i), built in-kernel from a
@@ -451,7 +488,7 @@ def main():
     ap.add_argument("probe", choices=["network", "merge", "pass_full",
                                       "starts", "starts_rows", "matmul",
                                       "gather", "rankdest", "thin_mm",
-                                      "rowperm_mm", "dynstore"])
+                                      "rowperm_mm", "dynstore", "batch_mm"])
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -488,6 +525,8 @@ def main():
         probe_rowperm_mm(check=args.check)
     elif args.probe == "dynstore":
         probe_dynstore(w_rows=args.w, check=args.check)
+    elif args.probe == "batch_mm":
+        probe_batch_mm(args.w)
 
 
 if __name__ == "__main__":
