@@ -261,3 +261,28 @@ def test_sort_pairs_lsb_in_value():
     got = (np.asarray(gk).astype(np.uint64) << np.uint64(32)) | \
         np.asarray(gv).astype(np.uint64)
     np.testing.assert_array_equal(got, np.sort(comp)[::-1])
+
+
+@pytest.mark.parametrize("dtype", ["uint32", "int32", "float32"])
+@pytest.mark.parametrize("descending", [False, True])
+def test_argsort_stable_ties(dtype, descending):
+    """argsort's composite fast path (2-operand (key || index) planes)
+    must stay STABLE: tied keys keep ascending original indices, both
+    directions, across the twiddled dtypes."""
+    from oracle import np_twiddle
+
+    n = 4096
+    keys = _gen(dtype, n, 2, seed=5)      # low entropy: heavy ties
+    perm = np.asarray(tpusort.argsort(keys, descending=descending))
+    k = np.asarray(keys)
+    tw = np_twiddle(k).astype(np.uint64)
+    if descending:
+        tw = np.uint64(0xFFFFFFFF) - tw
+    want = np.argsort(tw, kind="stable")
+    np.testing.assert_array_equal(perm, want)
+    if dtype == "uint32":
+        # drive the composite path through the msd ENGINE too (the CPU
+        # config's min_n=4096 lets the pass pipeline run at this size)
+        perm2 = np.asarray(
+            tpusort.argsort(keys, descending=descending, algorithm="msd"))
+        np.testing.assert_array_equal(perm2, want)

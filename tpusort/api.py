@@ -393,8 +393,33 @@ def argsort(
     end_bit: Optional[int] = None,
     algorithm: str = "auto",
 ):
-    """Indices that stably sort ``keys`` (carried as a uint32 payload)."""
+    """Indices that stably sort ``keys``.
+
+    Full-range 32-bit sorts ride the composite (twiddled key || index)
+    2-plane raw path directly: the index plane is simultaneously the
+    stable tiebreak and the requested output, so the network carries TWO
+    operands instead of the stable-pairs path's three (the composite key
+    planes plus a payload) — the dominant cost of the compare-exchange
+    chain is per-operand selects.  Sub-range/bit-window argsorts delegate
+    to the stable pairs path.
+    """
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    total = _dtypes.key_bits(keys.dtype)
+    eb = total if end_bit is None else end_bit
+    if begin_bit == 0 and eb == total == 32 and algorithm in (
+        "auto", "msd", "lsd"
+    ):
+        @functools.partial(jax.jit, static_argnames=("descending",))
+        def _twiddle(k, descending):
+            planes, _ = _dtypes.twiddle_in(k, descending=descending)
+            return planes[0]
+
+        tw = _twiddle(keys, descending)
+        out = sort_planes(
+            (tw, idx), key_dtype="uint64", stable=False,
+            algorithm=algorithm,
+        )
+        return out[1]
     _, perm = sort(
         keys,
         idx,
