@@ -79,3 +79,13 @@ def test_leaf_profile_keys_plan_selection():
 
     assert packed.rem_width + idx_bits(packed.seg) + 1 <= 32
     assert raw.rem_width + idx_bits(raw.seg) + 1 > 32
+
+
+def test_reverse_sorted_flagged():
+    """Reverse-sorted inputs concentrate tiles exactly like ascending
+    ones; the sortedness signal must be direction-blind."""
+    rng = np.random.default_rng(4)
+    s = np.sort(rng.integers(0, 1 << 32, planner.SAMPLE_TARGET,
+                             dtype=np.int64).astype(np.uint32))[::-1]
+    assert planner.sortedness(s) > 0.99
+    assert planner.predict_radix_overflow(s.copy(), PLAN, N)

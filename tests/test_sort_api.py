@@ -286,3 +286,37 @@ def test_argsort_stable_ties(dtype, descending):
         perm2 = np.asarray(
             tpusort.argsort(keys, descending=descending, algorithm="msd"))
         np.testing.assert_array_equal(perm2, want)
+
+
+def test_sort_rejects_2d_and_bad_bit_range():
+    """Validation must hold on EVERY dispatch path, including the
+    host-tiered one (a 2-D input was silently column-'sorted')."""
+    with pytest.raises(NotImplementedError):
+        tpusort.sort(jnp.zeros((4, 8), jnp.uint32), algorithm="msd")
+    with pytest.raises(ValueError):
+        tpusort.sort(jnp.zeros((128,), jnp.uint32), begin_bit=40,
+                     algorithm="msd")
+    with pytest.raises(ValueError):
+        tpusort.sort_planes(
+            (jnp.zeros((128,), jnp.uint32),) * 2, begin_bit=70,
+            algorithm="msd")
+
+
+def test_legacy_engine_signature_still_works():
+    """Engines registered against the documented contract (no config
+    kwarg) must keep working after the config plumbing."""
+    from tpusort.ops.reference import sort_twiddled_reference
+
+    def legacy(planes, values, *, begin_bit, end_bit, total_bits):
+        return sort_twiddled_reference(
+            planes, values, begin_bit=begin_bit, end_bit=end_bit,
+            total_bits=total_bits)
+
+    tpusort.register_engine("_legacy_test", legacy)
+    try:
+        keys = _gen("uint32", 2048, 3, seed=9)
+        got = tpusort.sort(keys, algorithm="_legacy_test")
+        _assert_bitwise_equal(got, np_sort_oracle(np.asarray(keys)))
+    finally:
+        from tpusort import api as _api
+        _api._ENGINES.pop("_legacy_test", None)

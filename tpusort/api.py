@@ -64,6 +64,24 @@ def register_engine(name: str, fn: Engine) -> None:
     _ENGINES[name] = fn
 
 
+def _call_engine(engine: Engine, planes, values_tuple, **kw):
+    """Invoke an engine, passing ``config=`` only if its signature takes it
+    (user engines registered against the documented Engine contract predate
+    the config kwarg and must keep working)."""
+    import inspect
+
+    try:
+        params = inspect.signature(engine).parameters
+        takes_config = "config" in params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+    except (TypeError, ValueError):
+        takes_config = False
+    if not takes_config:
+        kw.pop("config", None)
+    return engine(planes, values_tuple, **kw)
+
+
 def available_engines() -> Tuple[str, ...]:
     return tuple(sorted(_ENGINES))
 
@@ -167,7 +185,8 @@ def _sort_impl(
             "msd_unstable" in _ENGINES:
         algorithm = "msd_unstable"
     engine = _resolve_engine(algorithm, cfg)
-    sorted_planes, sorted_values = engine(
+    sorted_planes, sorted_values = _call_engine(
+        engine,
         planes,
         values_tuple,
         begin_bit=begin_bit,
@@ -356,10 +375,22 @@ def sort(
     given.
     """
     vt, had, single = _normalize_values(values)
+    # validate BEFORE choosing a dispatch path: the host-tiered route must
+    # reject exactly what _sort_impl rejects (a 2-D input would otherwise
+    # be silently column-"sorted" by the reference tier)
+    keys = jnp.asarray(keys)
+    if keys.ndim != 1:
+        raise NotImplementedError("tpusort currently sorts 1-D arrays")
+    total_bits = _dtypes.key_bits(keys.dtype)
+    eb_chk = total_bits if end_bit is None else end_bit
+    if not (0 <= begin_bit < eb_chk <= total_bits):
+        raise ValueError(
+            f"invalid bit range [{begin_bit}, {eb_chk}) for {keys.dtype}"
+        )
     # resolve the tuning config OUTSIDE the jit boundary (it is a static
     # argument): registry updates then retrace instead of being shadowed by
     # the trace cache
-    cfg = _configs.get_config(_dtypes.key_bits(keys.dtype), had)
+    cfg = _configs.get_config(total_bits, had)
     if _host_tiered_applicable(keys, vt, algorithm, cfg):
         out_keys, out_vals = _sort_host_tiered(
             keys, vt, descending=descending, begin_bit=begin_bit,
@@ -383,6 +414,12 @@ def sort(
     if not had:
         return out_keys
     return out_keys, (out_vals[0] if single else out_vals)
+
+
+@functools.partial(jax.jit, static_argnames=("descending",))
+def _argsort_twiddle_impl(k, descending):
+    planes, _ = _dtypes.twiddle_in(k, descending=descending)
+    return planes[0]
 
 
 def argsort(
@@ -409,12 +446,7 @@ def argsort(
     if begin_bit == 0 and eb == total == 32 and algorithm in (
         "auto", "msd", "lsd"
     ):
-        @functools.partial(jax.jit, static_argnames=("descending",))
-        def _twiddle(k, descending):
-            planes, _ = _dtypes.twiddle_in(k, descending=descending)
-            return planes[0]
-
-        tw = _twiddle(keys, descending)
+        tw = _argsort_twiddle_impl(keys, descending)
         out = sort_planes(
             (tw, idx), key_dtype="uint64", stable=False,
             algorithm=algorithm,
@@ -485,8 +517,8 @@ def _sort_planes_impl(planes, values_tuple, *, key_dtype, descending,
             "msd_unstable" in _ENGINES:
         algorithm = "msd_unstable"
     engine = _resolve_engine(algorithm, cfg)
-    sp, sv = engine(
-        tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
+    sp, sv = _call_engine(
+        engine, tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
         total_bits=total_bits, config=cfg,
     )
     out = _dtypes.twiddle_planes_out(sp, traits, descending=descending)
@@ -556,9 +588,16 @@ def sort_planes(
     (``msb/src/sort/gpu_radix_sort.h:190-205``).
     """
     vt, had, single = _normalize_values(values)
-    cfg = _configs.get_config(
-        _dtypes.traits_for(key_dtype).bits, had
-    )
+    traits_chk = _dtypes.traits_for(key_dtype)
+    if len(planes) != traits_chk.planes:
+        raise ValueError(
+            f"{key_dtype} expects {traits_chk.planes} uint32 plane(s), "
+            f"got {len(planes)}"
+        )
+    eb_chk = traits_chk.bits if end_bit is None else end_bit
+    if not (0 <= begin_bit < eb_chk <= traits_chk.bits):
+        raise ValueError(f"invalid bit range [{begin_bit}, {eb_chk})")
+    cfg = _configs.get_config(traits_chk.bits, had)
     if _host_tiered_applicable(planes[0], vt, algorithm, cfg):
         kw = dict(key_dtype=key_dtype, descending=descending,
                   begin_bit=begin_bit, end_bit=end_bit,

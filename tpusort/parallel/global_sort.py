@@ -269,36 +269,24 @@ def _global_sort_shard(
     recv_counts = cmat[:, r]                                  # (D,)
     overflow = jax.lax.pmax(jnp.max(cmat), axis) > capacity
 
-    # positional validity, then the local finishing sort — through the
-    # engine's raw-key networks, not lax.sort (VERDICT r1 weak #8)
-    pos = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    valid = (pos < recv_counts[:, None]).reshape(-1)
-    flat = [x.reshape(-1) for x in recv]
-    if not values:
-        # keys-only: garbage -> all-ones sentinel is multiset-exact (each
-        # shard receives exactly n_shard valid keys, so the first n_shard
-        # slots of the engine-sorted buffer are the owned range)
-        rewritten = [
-            jnp.where(valid, f, jnp.uint32(0xFFFFFFFF))
-            for f in flat[:nplanes]
-        ]
-        sp2, _ = _local_engine_sort(rewritten, (), 32 * nplanes)
-        owned = [p[:n_shard] for p in sp2]
-    elif nplanes == 1:
-        # pairs: composite (validity, key) 2-plane raw sort — the validity
-        # plane is 0/1, so the raw path's all-ones sentinel can never tie a
-        # valid element and payloads never mix with garbage
-        invalid_key = (~valid).astype(jnp.uint32)
-        sp2, sv2 = _local_engine_sort(
-            [invalid_key, flat[0]], flat[nplanes:], 64
-        )
-        owned = [sp2[1][:n_shard]] + [v[:n_shard] for v in sv2]
-    else:
-        # 2-plane pairs: 3 sort keys exceed the raw network — variadic sort
-        invalid_key = (~valid).astype(jnp.uint32)
-        keys = [invalid_key] + list(flat[:nplanes])
-        result = jax.lax.sort(keys + flat, num_keys=nplanes + 1)[nplanes + 1:]
-        owned = [x[:n_shard] for x in result]
+    # The received layout — d runs of ``capacity`` with valid prefix
+    # lengths — is exactly the collapse kernel's input: compact the valid
+    # prefixes in order (each shard receives exactly n_shard valid
+    # elements by splitter construction), then finish with the engine's
+    # raw-key networks on a clean dense array.  Sorting the padded buffer
+    # directly would feed the radix engine a sentinel-dominated top digit
+    # (~(1 - 1/capacity_factor) of all slots), a guaranteed capacity
+    # overflow that forced its fallback on every call.
+    from tpusort.kernels.collapse import collapse_segments
+
+    seg_counts = jnp.minimum(recv_counts, jnp.int32(capacity))
+    compacted = collapse_segments(
+        [x.reshape(d, capacity) for x in recv], seg_counts, n_shard
+    )
+    sp2, sv2 = _local_engine_sort(
+        compacted[:nplanes], compacted[nplanes:], 32 * nplanes
+    )
+    owned = list(sp2) + list(sv2)
 
     def fallback(_):
         # allgather everything, sort locally, take the owned range
@@ -365,6 +353,7 @@ def make_global_sort(
     if axis_name is None:
         axis_name = mesh.axis_names[0]
     d = mesh.shape[axis_name]
+    shard_fns = {}   # geometry -> jitted shard body (persist across calls)
 
     def sorter(keys, values=None, *, descending: bool = False):
         n = keys.shape[0]
@@ -389,10 +378,16 @@ def make_global_sort(
         vops = [jnp.asarray(v).view(jnp.uint32) for v in vt]
         ops = list(planes) + vops
 
-        shard_fn = _make_sharded_body(
-            mesh, axis_name, len(planes), len(vops), n_shard, d, capacity,
-            chunks,
-        )
+        geom = (len(planes), len(vops), n_shard, capacity)
+        shard_fn = shard_fns.get(geom)
+        if shard_fn is None:
+            # build the jitted shard body once per geometry: a fresh
+            # wrapper per call would miss the jit cache and re-trace the
+            # whole distributed program every sort
+            shard_fn = shard_fns[geom] = _make_sharded_body(
+                mesh, axis_name, len(planes), len(vops), n_shard, d,
+                capacity, chunks,
+            )
         out = shard_fn(*ops)
         out_planes = tuple(out[: len(planes)])
         out_keys = _dtypes.twiddle_out(
@@ -428,6 +423,7 @@ def make_global_sort_planes(
         axis_name = mesh.axis_names[0]
     d = mesh.shape[axis_name]
     traits = _dtypes.traits_for(key_dtype)
+    shard_fns = {}   # geometry -> jitted shard body (persist across calls)
 
     def sorter(planes, values=None, *, descending: bool = False):
         planes = tuple(jnp.asarray(p).view(jnp.uint32) for p in planes)
@@ -450,10 +446,13 @@ def make_global_sort_planes(
         )
         vops = [jnp.asarray(v).view(jnp.uint32) for v in vt]
         ops = list(tw) + vops
-        shard_fn = _make_sharded_body(
-            mesh, axis_name, len(tw), len(vops), n_shard, d, capacity,
-            chunks,
-        )
+        geom = (len(tw), len(vops), n_shard, capacity)
+        shard_fn = shard_fns.get(geom)
+        if shard_fn is None:
+            shard_fn = shard_fns[geom] = _make_sharded_body(
+                mesh, axis_name, len(tw), len(vops), n_shard, d, capacity,
+                chunks,
+            )
         out = shard_fn(*ops)
         out_planes = tuple(
             _dtypes.twiddle_planes_out(

@@ -44,9 +44,13 @@ _MIN_SAMPLES_PER_BUCKET = 8
 
 
 def sortedness(sample: np.ndarray) -> float:
+    """Max of the ascending and descending adjacent-pair fractions: a
+    reverse-sorted input concentrates radix tiles into single digits
+    exactly like an ascending one."""
     if sample.size < 2:
         return 0.0
-    return float(np.mean(sample[1:] >= sample[:-1]))
+    asc = float(np.mean(sample[1:] >= sample[:-1]))
+    return max(asc, 1.0 - asc + float(np.mean(sample[1:] == sample[:-1])))
 
 
 def predict_radix_overflow(
