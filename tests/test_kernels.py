@@ -161,3 +161,39 @@ def test_partition_starts_rows_matches_default():
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_sort_tiles_counts_collapsed_dense():
+    """Fused leaf+collapse: dense output equals sort-then-compact, across
+    ragged counts, multiple ops, and batch-spanning offsets."""
+    import jax
+    import jax.numpy as jnp
+    from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
+
+    rng = np.random.default_rng(13)
+    T, K, q = 8, 1024, 128
+    keys = rng.integers(0, 1 << 32, (T, K), dtype=np.uint64).astype(np.uint32)
+    vals = rng.integers(0, 1 << 32, (T, K), dtype=np.uint64).astype(np.uint32)
+    counts = rng.integers(0, q + 1, (T, K // q)).astype(np.int32)
+    n_out = int(counts.sum())
+    got_k, got_v = sort_tiles_counts_collapsed(
+        [jnp.asarray(keys), jnp.asarray(vals)], jnp.asarray(counts), q,
+        n_out, num_keys=1, interpret=True)
+    # oracle: per tile, keep valid prefixes of each subrun, sort by key
+    # (garbage removed), concatenate tiles in order
+    wk, wv = [], []
+    for t in range(T):
+        mask = np.zeros(K, bool)
+        for s in range(K // q):
+            mask[s * q : s * q + counts[t, s]] = True
+        kk, vv = keys[t][mask], vals[t][mask]
+        order = np.argsort(kk, kind="stable")
+        wk.append(kk[order]); wv.append(vv[order])
+    wk, wv = np.concatenate(wk), np.concatenate(wv)
+    np.testing.assert_array_equal(np.asarray(got_k), wk)
+    # values: permutation within equal keys is free — compare (key,value)
+    # multisets per tile span
+    got_pairs = np.stack([np.asarray(got_k), np.asarray(got_v)], 1)
+    want_pairs = np.stack([wk, wv], 1)
+    o1 = np.lexsort(got_pairs.T); o2 = np.lexsort(want_pairs.T)
+    np.testing.assert_array_equal(got_pairs[o1], want_pairs[o2])

@@ -406,6 +406,164 @@ def sort_tiles_counts(
     return out[0] if single else out
 
 
+def _counts_sort_collapse_kernel(
+    *refs, n_ops: int, n_sub: int, q: int, pad_rows: int,
+    sorted_run: int, num_keys: int, nb: int, rows: int,
+):
+    """Fused raw-key leaf sort + dense collapse: after sorting (garbage to
+    the tile tail), each tile's valid prefix is streamed directly to its
+    dense global offset via the collapse write discipline (boundary-row
+    readback, rotate-place, overshoot-overwrite DMA) — the separate
+    collapse pass over the whole array disappears."""
+    from tpusort.kernels.collapse import _place
+
+    ins = refs[:n_ops]
+    cref = refs[n_ops]
+    tbl_ref = refs[n_ops + 1]
+    outs = refs[n_ops + 2 : n_ops + 2 + n_ops]
+    bufs = refs[n_ops + 2 + n_ops : n_ops + 2 + 2 * n_ops]
+    rowbufs = refs[n_ops + 2 + 2 * n_ops : n_ops + 2 + 3 * n_ops]
+    sem = refs[n_ops + 2 + 3 * n_ops]
+
+    arrays = [r[...] for r in ins]
+    qrows = q // LANES
+    lin_sub = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) % qrows
+    ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    valid = jnp.stack(
+        [
+            lin_sub < jnp.concatenate(
+                [jnp.full((qrows, LANES), cref[b, 0, i], jnp.int32)
+                 for i in range(n_sub)], axis=0)
+            for b in range(nb)
+        ],
+        axis=0,
+    )
+    for i in range(num_keys):
+        arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
+
+    k_real = rows * LANES
+    f = merge_staged_factor(k_real)
+    if pad_rows and sorted_run and f and (k_real // f) % sorted_run == 0:
+        arrays = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys)
+    else:
+        if pad_rows:
+            padded = []
+            for i, a in enumerate(arrays):
+                if i < num_keys:
+                    pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF,
+                                   jnp.uint32)
+                else:
+                    pad = jnp.zeros((nb, pad_rows, LANES), a.dtype)
+                padded.append(jnp.concatenate([a, pad], axis=1))
+            arrays = padded
+        if sorted_run:
+            arrays = _merge_sorted_runs(arrays, sorted_run, num_keys)
+        else:
+            arrays = _sort_network(arrays, num_keys)
+
+    row0 = tbl_ref[0, 0, 0]
+    p = tbl_ref[0, 0, 1]
+    brows = nb * rows + 2
+    for i in range(n_ops):
+        cp_in = pltpu.make_async_copy(
+            outs[i].at[pl.ds(row0, 1), :], rowbufs[i], sem
+        )
+        cp_in.start()
+        cp_in.wait()
+        bufs[i][pl.ds(0, 1), :] = rowbufs[i][...]
+    for i in range(n_ops):
+        cursor = p
+        for b in range(nb):
+            _place(bufs[i], arrays[i][b, :rows], cursor)
+            cursor = cursor + tbl_ref[0, 0, 2 + b]
+    for i in range(n_ops):
+        cp_out = pltpu.make_async_copy(
+            bufs[i].at[pl.ds(0, brows - 1), :],
+            outs[i].at[pl.ds(row0, brows - 1), :],
+            sem,
+        )
+        cp_out.start()
+        cp_out.wait()
+
+
+def sort_tiles_counts_collapsed(
+    op,
+    counts: jax.Array,
+    q: int,
+    n_out: int,
+    *,
+    sorted_run: int = 0,
+    num_keys: int = 1,
+    batch: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Fused :func:`sort_tiles_counts` + ``collapse_segments``: returns the
+    DENSE (n_out,) sorted arrays directly, skipping the separate
+    whole-array compaction pass (its HBM read+write and kernel overhead).
+    Per-tile dense offsets are the exclusive cumsum of the counts-table
+    row sums — known before the kernel runs (the counts chain)."""
+    single = not isinstance(op, (list, tuple))
+    ops = [jnp.asarray(op)] if single else [jnp.asarray(o) for o in op]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, K = ops[0].shape
+    if K % LANES or q % LANES or K % q:
+        raise ValueError(f"bad tile geometry K={K} q={q}")
+    rows = K // LANES
+    n_sub = K // q
+    k_pow2 = 1 << (K - 1).bit_length()
+    pad_rows = k_pow2 // LANES - rows
+    n_ops = len(ops)
+    nb = _pick_batch(T, K, n_ops, batch)
+    if sorted_run and (K % sorted_run or pad_rows * LANES % sorted_run):
+        sorted_run = 0
+
+    counts = counts.astype(jnp.int32)
+    tile_counts = counts.sum(axis=1)                       # (T,)
+    offsets = jnp.cumsum(tile_counts) - tile_counts
+    nsteps = T // nb
+    brows = nb * rows + 2
+    if nb + 2 > LANES:
+        raise ValueError("batch too large for the offset table row")
+    g_off = offsets[::nb]
+    tbl = jnp.zeros((nsteps, LANES), jnp.int32)
+    tbl = tbl.at[:, 0].set(g_off >> 7)
+    tbl = tbl.at[:, 1].set(g_off & 127)
+    tbl = tbl.at[:, 2 : 2 + nb].set(tile_counts.reshape(nsteps, nb))
+    total_rows = -(-n_out // LANES) + brows
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _counts_sort_collapse_kernel, n_ops=n_ops, n_sub=n_sub, q=q,
+            pad_rows=pad_rows, sorted_run=sorted_run, num_keys=num_keys,
+            nb=nb, rows=rows,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((total_rows, LANES), o.dtype) for o in ops
+        ],
+        grid=(nsteps,),
+        in_specs=[spec] * n_ops + [
+            pl.BlockSpec((nb, 1, n_sub), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_ops)],
+        scratch_shapes=[pltpu.VMEM((brows, LANES), jnp.uint32)
+                        for _ in range(n_ops)]
+        + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_ops)]
+        + [pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*[o.reshape(T, rows, LANES) for o in ops],
+      counts.reshape(T, 1, n_sub), tbl[:, None, :])
+    out = [o.reshape(-1)[:n_out] for o in out]
+    return out[0] if single else out
+
+
 def sort_tiles_masked(
     op,
     mask: jax.Array,

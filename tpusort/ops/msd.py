@@ -646,7 +646,7 @@ def sort_twiddled_msd(
         # part of the key, so sorting packed tiles of whole segments by the
         # raw key (garbage -> 0xFFFFFFFF) both finishes each segment and
         # compacts valid keys to the tile front in globally sorted order.
-        from tpusort.kernels.bitonic import sort_tiles_counts
+        from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
 
         pack = 1
         while (
@@ -658,14 +658,13 @@ def sort_twiddled_msd(
         tile = pack * plan.seg
         ct = ctable.reshape(nt, tile // q_fin)
         last_s = plan.passes[-1].s
-        sorted_ops = sort_tiles_counts(
-            [o.reshape(nt, tile) for o in ops], ct, q_fin,
+        # fused leaf + collapse: sorted valid prefixes stream straight to
+        # their dense output offsets (offsets = the counts chain's cumsum,
+        # known before the kernel) — no separate compaction pass
+        ops = sort_tiles_counts_collapsed(
+            [o.reshape(nt, tile) for o in ops], ct, q_fin, n,
             sorted_run=(last_s & -last_s), num_keys=nplanes,
         )
-        tile_counts = ct.sum(axis=1, dtype=jnp.int32)
-        from tpusort.kernels.collapse import collapse_segments
-
-        ops = collapse_segments(sorted_ops, tile_counts, n)
     else:
         if use_pallas:
             ct = ctable.reshape(plan.n_segments, plan.seg // q_fin)
