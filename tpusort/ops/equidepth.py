@@ -338,8 +338,7 @@ def _run_pipeline(
     # raw-key leaf, identical to the radix engine's: segments are value
     # ranges in ascending order; adjacent segments may share only equal
     # (heavy/boundary) values, so packed-tile sorts stay globally ordered
-    from tpusort.kernels.bitonic import sort_tiles_counts
-    from tpusort.kernels.collapse import collapse_segments
+    from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
 
     pack = 1
     while (
@@ -350,13 +349,13 @@ def _run_pipeline(
     nt = plan.n_segments // pack
     tile = pack * plan.seg
     ct = ctable.reshape(nt, tile // qg)
-    sorted_ops = sort_tiles_counts(
-        [o.reshape(nt, tile) for o in ops], ct, qg,
+    # fused leaf + collapse (see kernels/bitonic.py): dense output written
+    # directly at the counts-chain cumsum offsets
+    out = sort_tiles_counts_collapsed(
+        [o.reshape(nt, tile) for o in ops], ct, qg, n,
         sorted_run=(prev_s & -prev_s), num_keys=nplanes,
         interpret=interpret,
     )
-    tile_counts = ct.sum(axis=1, dtype=jnp.int32)
-    out = collapse_segments(sorted_ops, tile_counts, n, interpret=interpret)
     return out, overflow
 
 
