@@ -48,3 +48,20 @@ T=900 run python bench.py --log2n 26 --pairs --unstable
 T=900 run python bench.py --log2n 26 --pairs
 
 echo "=== drive complete $(date) ===" | tee -a "$LOG"
+
+# 5) new-path validations (fused leaf+collapse, argsort composite)
+T=900 run python - <<'PYEOF'
+import time, jax, jax.numpy as jnp, numpy as np
+import tpusort
+n = 1 << 26
+keys = jax.random.bits(jax.random.key(3), (n,), dtype=jnp.uint32)
+probe = jax.jit(lambda o: jax.tree.leaves(o)[0].ravel()[:8])
+sync = lambda o: np.asarray(probe(o))
+f = jax.jit(tpusort.argsort)
+sync(f(keys)); t0=time.perf_counter(); sync(f(keys)); dt=time.perf_counter()-t0
+perm = np.asarray(f(keys))
+k = np.asarray(keys)
+assert np.all(np.diff(k[perm].astype(np.int64)) >= 0)
+assert np.bincount(perm, minlength=n).max() == 1
+print(f"argsort 2^26: {n/dt/1e6:.0f} M elem/s (sync-inclusive)")
+PYEOF
