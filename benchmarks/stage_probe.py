@@ -429,6 +429,39 @@ def probe_dynstore(w_rows: int = 2, check: bool = False):
           f"{dt/(T*nwin)*1e9:.1f} ns/window")
 
 
+def probe_gather_wide():
+    """Cross-vreg lane gather: take_along_axis over a (B, 16384) row —
+    what a sortkey-sort + payload-gather tile path would need (indices
+    span 128 vregs, not one)."""
+    B, K, reps = 16, 1 << 14, 2
+
+    def kern(x_ref, i_ref, o_ref):
+        x, idx = x_ref[...], i_ref[...]
+        for _ in range(reps):
+            x = jnp.take_along_axis(x, idx, axis=1)
+        o_ref[...] = x
+
+    spec = pl.BlockSpec((4, K), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, K), jnp.int32),
+        grid=(B // 4,),
+        in_specs=[spec, spec], out_specs=spec,
+    )
+    x = jax.random.randint(jax.random.key(0), (B, K), 0, 1 << 30, jnp.int32)
+    idx = jax.random.randint(jax.random.key(1), (B, K), 0, K, jnp.int32)
+    try:
+        got = np.asarray(f(x, idx))
+        ref = x
+        for _ in range(reps):
+            ref = jnp.take_along_axis(ref, idx, axis=1)
+        ok = np.array_equal(got, np.asarray(ref))
+        dt = _measure(f, x, idx)
+        _report(f"gather_wide K={K} ok={ok}", dt, B * K * reps)
+    except Exception as e:
+        print(f"gather_wide: FAIL {type(e).__name__}: {str(e)[:160]}")
+
+
 def probe_gather():
     """Does Mosaic lower take_along_axis on sublanes / lanes at all?"""
     rows, T, reps = 128, 64, 4
@@ -517,6 +550,7 @@ def main():
         probe_matmul(args.dtype)
     elif args.probe == "gather":
         probe_gather()
+        probe_gather_wide()
     elif args.probe == "rankdest":
         probe_rankdest(args.r, nb=args.nb, check=args.check)
     elif args.probe == "thin_mm":
