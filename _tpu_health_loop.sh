@@ -1,0 +1,16 @@
+#!/bin/bash
+# Poll the tunneled TPU until a trivial jit completes; log recovery time.
+cd /root/repo
+for i in $(seq 1 100); do
+  if timeout 90 python -c "
+import jax, jax.numpy as jnp, numpy as np
+print('OK', np.asarray(jax.jit(lambda a: (a*2).sum())(jnp.arange(1024))))
+" > /tmp/tpu_health.log 2>&1; then
+    echo "RECOVERED at $(date) (attempt $i)"
+    exit 0
+  fi
+  echo "attempt $i failed at $(date)"
+  sleep 240
+done
+echo "never recovered"
+exit 1

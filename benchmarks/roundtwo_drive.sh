@@ -40,6 +40,12 @@ T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --starts-
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 8192
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 32768
 
+# 3b) stable-pairs pass: general (multi-operand network) vs gather-apply
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 22 --check
+T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --values 2
+
 # 4) headline + ceilings
 T=900 run python bench.py --log2n 28
 T=900 run python bench.py --log2n 29

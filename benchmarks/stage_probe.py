@@ -119,6 +119,49 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
     _report(f"pass_full k={k} r={r} s={s} rows={starts_rows}", dt, n)
 
 
+def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
+                      n_values: int = 1, gather: bool = True,
+                      check: bool = False):
+    """The stable pairs pass, general path (every operand rides the
+    network) vs gather-apply (1-operand sortkey network + take_along_axis
+    emit).  The decisive measurement for stable pairs / u64 throughput:
+    if the composed gathers beat the extra network operands, the stable
+    engine switches to gather_apply on chip."""
+    from tpusort.kernels.partition import partition_pass_fused
+
+    n = 1 << log2n
+    s = ((3 * k // (2 * r)) // 128) * 128
+    width = r.bit_length() - 1
+    T = n // k
+    keys = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
+    vals = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
+            for i in range(n_values)]
+
+    def fn(ga, keys, *vals):
+        data, counts = partition_pass_fused(
+            [keys], list(vals), None, r=r, s=s, lo_bit=32 - width,
+            width=width, n=n, t_seg=T, gather_apply=ga, interpret=False,
+        )
+        return data[0], counts
+
+    if check:
+        d0, c0 = jax.jit(functools.partial(fn, False))(keys, *vals)
+        d1, c1 = jax.jit(functools.partial(fn, True))(keys, *vals)
+        ok = np.array_equal(np.asarray(c0), np.asarray(c1))
+        A = np.asarray(d0).reshape(1, r, T, s)
+        B = np.asarray(d1).reshape(1, r, T, s)
+        c = np.asarray(c0)
+        for d in range(r):
+            for t in range(T):
+                if not np.array_equal(A[0, d, t, : c[t, d]],
+                                      B[0, d, t, : c[t, d]]):
+                    ok = False
+        print(f"pass_gather check (log2n={log2n}):", ok)
+    dt = _measure(functools.partial(fn, gather), keys, *vals)
+    _report(f"pass_{'gather' if gather else 'stable'} k={k} r={r} s={s} "
+            f"values={n_values}", dt, n)
+
+
 def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
     """Starts/counts computation cost, isolated: full-tile reduces
     (today's) vs row-hierarchical (row-last vector + one-row residual)."""
@@ -521,7 +564,8 @@ def main():
     ap.add_argument("probe", choices=["network", "merge", "pass_full",
                                       "starts", "starts_rows", "matmul",
                                       "gather", "rankdest", "thin_mm",
-                                      "rowperm_mm", "dynstore", "batch_mm"])
+                                      "rowperm_mm", "dynstore", "batch_mm",
+                                      "pass_gather", "pass_stable"])
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -531,6 +575,7 @@ def main():
     ap.add_argument("--starts-rows", action="store_true")
     ap.add_argument("--s", type=int, default=0)
     ap.add_argument("--w", type=int, default=2)
+    ap.add_argument("--values", type=int, default=1)
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
@@ -551,6 +596,11 @@ def main():
     elif args.probe == "gather":
         probe_gather()
         probe_gather_wide()
+    elif args.probe in ("pass_gather", "pass_stable"):
+        probe_pass_gather(args.log2n, r=args.r, k=args.k,
+                          n_values=args.values,
+                          gather=(args.probe == "pass_gather"),
+                          check=args.check)
     elif args.probe == "rankdest":
         probe_rankdest(args.r, nb=args.nb, check=args.check)
     elif args.probe == "thin_mm":

@@ -406,6 +406,201 @@ def _fused_kernel(
     )
 
 
+def _gather_kernel(
+    *refs,
+    n_planes: int,
+    n_values: int,
+    nb: int,
+    r: int,
+    s: int,
+    k: int,
+    lo_bit: int,
+    width: int,
+    idx_bits: int,
+    n: Optional[int],
+    q_in: Optional[int],
+    exchanged: bool,
+):
+    """Stable pass with a 1-operand sortkey network + gather apply.
+
+    The multi-operand cost of the general path (every payload operand rides
+    the compare-exchange network, ~2x per extra operand once batched) is
+    replaced by: sort ONLY the (digit, idx) sortkey, then move each operand
+    with two ``take_along_axis`` gathers — one composing the padded-run
+    window indices with the sorted source indices, one applying the composed
+    permutation to the data.  The emit is fused into the apply: the gather
+    index for padded slot (d, j) is ``sorted_idx[start_d + j]``, so the
+    sorted tile is never materialized and no scratch/dynamic slices are
+    needed.  Data operands use a FLAT (nb, K) lane layout (the layout the
+    hardware gather wants); only the sortkey is relaid to (nb, rows, 128)
+    for the network.
+
+    Viability is hardware-gated: Mosaic must lower wide-row lane gathers at
+    speed (benchmarks/stage_probe.py ``gather_wide`` / ``pass_gather``).
+    """
+    n_data = n_planes + n_values
+    ins = refs[:n_data]
+    pos = n_data
+    cin_ref = refs[pos] if q_in is not None else None
+    pos += 1 if q_in is not None else 0
+    outs = refs[pos : pos + n_data]
+    counts_ref = refs[pos + n_data]
+
+    rows = k // LANES
+    lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+    if cin_ref is not None:
+        n_sub = k // q_in
+        sub_pos = lin % q_in
+        valid_rows = []
+        for b in range(nb):
+            thr = jnp.concatenate(
+                [
+                    jnp.full((1, q_in), cin_ref[b, 0, i], jnp.int32)
+                    for i in range(n_sub)
+                ],
+                axis=1,
+            )
+            valid_rows.append(sub_pos[b : b + 1] < thr)
+        valid = jnp.concatenate(valid_rows, axis=0)
+    else:
+        base = pl.program_id(0) * (nb * k)
+        off = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) * k
+        valid = (base + off + lin) < n
+
+    planes = [ins[i][...] for i in range(n_planes)]
+    digit = _extract_bits_arrays(planes, lo_bit, width)
+    idx = lin.astype(jnp.uint32) & jnp.uint32((1 << idx_bits) - 1)
+    d_or_s = jnp.where(valid, digit, jnp.uint32(r))
+    sortkey = (d_or_s << jnp.uint32(idx_bits)) | idx
+
+    sk3 = sortkey.reshape(nb, rows, LANES)
+    sk3 = _sort_network([sk3])[0]
+    sorted_sk = sk3.reshape(nb, k)
+    sorted_digit = sorted_sk >> jnp.uint32(idx_bits)    # r == garbage
+    sorted_idx = (sorted_sk & jnp.uint32((1 << idx_bits) - 1)).astype(
+        jnp.int32
+    )
+
+    win_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    win_rows = []
+    for b in range(nb):
+        st = [jnp.int32(0)]
+        for d in range(1, r + 1):
+            st.append(
+                jnp.sum(
+                    (sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32)
+                )
+            )
+        for d in range(r):
+            counts_ref[b, 0, d] = st[d + 1] - st[d]
+        win_rows.append(
+            jnp.concatenate([st[d] + win_iota for d in range(r)], axis=1)
+        )
+    win = jnp.minimum(jnp.concatenate(win_rows, axis=0), k - 1)  # (nb, r*s)
+    src = jnp.take_along_axis(sorted_idx, win, axis=1)           # composed
+
+    for o, ref_in in zip(outs, ins):
+        padded = jnp.take_along_axis(ref_in[...], src, axis=1)
+        if exchanged:
+            # out block is the FLAT (1, r, nb, s) view of the exchanged
+            # (n_seg, r, t_seg, s) layout — same HBM bytes as the 5-D
+            # (..., srows, LANES) layout, no relayout needed
+            for d in range(r):
+                o[0, d] = padded[:, d * s : (d + 1) * s]
+        else:
+            o[...] = padded
+
+
+def _pass_fused_gather(
+    ops: Sequence[jax.Array],
+    counts_in: Optional[jax.Array],
+    *,
+    n_planes: int,
+    n_values: int,
+    nb: int,
+    r: int,
+    s: int,
+    k: int,
+    lo_bit: int,
+    width: int,
+    idx_bits: int,
+    n: Optional[int],
+    q_in: Optional[int],
+    t_seg: Optional[int],
+    interpret: bool,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """pallas_call plumbing for the gather-apply pass (flat lane layout)."""
+    if (r << idx_bits) > (1 << 32):
+        raise ValueError("sortkey overflow: r * K must fit in 32 bits")
+    T = ops[0].shape[0]
+    n_data = n_planes + n_values
+    inputs = list(ops)                                  # (T, K) flat
+    in_specs = [
+        pl.BlockSpec((nb, k), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_data)
+    ]
+    if counts_in is not None:
+        n_sub = k // q_in
+        inputs.append(
+            jnp.asarray(counts_in).astype(jnp.int32).reshape(T, 1, n_sub)
+        )
+        in_specs.append(
+            pl.BlockSpec((nb, 1, n_sub), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+    if t_seg is None:
+        data_shape = [
+            jax.ShapeDtypeStruct((T, r * s), jnp.uint32)
+            for _ in range(n_data)
+        ]
+        data_spec = pl.BlockSpec((nb, r * s), lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        n_seg = T // t_seg
+        tb = t_seg // nb
+        data_shape = [
+            jax.ShapeDtypeStruct((n_seg, r, t_seg, s), jnp.uint32)
+            for _ in range(n_data)
+        ]
+        data_spec = pl.BlockSpec(
+            (1, r, nb, s),
+            lambda t: (t // tb, 0, t % tb, 0),
+            memory_space=pltpu.VMEM,
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_kernel,
+            n_planes=n_planes,
+            n_values=n_values,
+            nb=nb,
+            r=r,
+            s=s,
+            k=k,
+            lo_bit=lo_bit,
+            width=width,
+            idx_bits=idx_bits,
+            n=n,
+            q_in=q_in,
+            exchanged=(t_seg is not None),
+        ),
+        out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
+        grid=(T // nb,),
+        in_specs=in_specs,
+        out_specs=[data_spec] * n_data
+        + [
+            pl.BlockSpec((nb, 1, r), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    if t_seg is None:
+        data = list(out[:n_data])                       # already (T, r*s)
+    else:
+        data = [o.reshape(-1) for o in out[:n_data]]
+    counts = out[n_data][:, 0, :]
+    return data, counts
+
+
 def partition_pass_fused(
     planes: Sequence[jax.Array],
     values: Sequence[jax.Array],
@@ -425,6 +620,7 @@ def partition_pass_fused(
     splitter_fracs: Optional[jax.Array] = None,
     batch: int = 4,
     starts_rows: bool = False,
+    gather_apply: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """One fused MSD partition pass over (T, K) tiles.
@@ -469,6 +665,18 @@ def partition_pass_fused(
     while T % nb or (t_seg is not None and t_seg % nb):
         nb //= 2
     nb = max(nb, 1)
+
+    if gather_apply:
+        if digit is not None or splitters is not None or starts_rows:
+            raise ValueError(
+                "gather_apply supports only the plain stable radix path"
+            )
+        return _pass_fused_gather(
+            ops, counts_in, n_planes=n_planes, n_values=n_values, nb=nb,
+            r=r, s=s, k=K, lo_bit=lo_bit, width=width, idx_bits=idx_bits,
+            n=n, q_in=(q_in if counts_in is not None else None),
+            t_seg=t_seg, interpret=interpret,
+        )
 
     shaped = [o.reshape(T, rows, LANES) for o in ops]
     inputs = list(shaped)
