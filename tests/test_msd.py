@@ -348,3 +348,49 @@ def test_msd_overflow_flag_mode():
         on_overflow="flag",
     )
     assert bool(ovf_c)
+
+
+def test_msd_gather_pass_pairs_interpret():
+    """Engine with SortConfig.use_gather_pass: stable pairs ride the
+    1-operand sortkey network + take_along_axis-emit passes (no composite
+    trick, no raw path) and must match the stable oracle exactly."""
+    from tpusort.configs import SortConfig
+
+    n = 12_000
+    keys = datagen.entropy_keys(jax.random.key(21), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    planes, traits = td.twiddle_in(keys)
+    cfg = SortConfig(use_gather_pass=True)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(sv[0]), wv)
+
+
+def test_msd_gather_pass_u64_pairs_interpret():
+    """use_gather_pass with 2-plane (u64) keys + payload through the
+    general gather path."""
+    from tpusort.configs import SortConfig
+
+    n = 9_000
+    rng = np.random.default_rng(5)
+    hi = jnp.asarray(rng.integers(0, 4, n).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                     .astype(np.uint32))
+    vals = datagen.enumerated_values(n)
+    cfg = SortConfig(use_gather_pass=True)
+    sp, sv = msd.sort_twiddled_msd(
+        (hi, lo), (vals,), begin_bit=0, end_bit=64, total_bits=64,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+    )
+    comp = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(lo).astype(np.uint64)
+    order = np.argsort(comp, kind="stable")
+    got = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(sp[1]).astype(np.uint64)
+    np.testing.assert_array_equal(got, comp[order])
+    np.testing.assert_array_equal(np.asarray(sv[0]), np.asarray(vals)[order])

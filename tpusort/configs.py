@@ -41,6 +41,10 @@ class SortConfig:
     # --- adaptive skew tier (equi-depth splitter engine) ---
     skew_tier: Optional[bool] = None      # None = engine's auto gate
     skew_sample_log2: Optional[int] = None  # splitter sample size (None = auto)
+    # --- stable pairs: gather-apply passes (1-operand sortkey network +
+    #     take_along_axis emit) instead of multi-operand networks; flip on
+    #     per-platform once the on-chip pass_gather probe beats pass_stable ---
+    use_gather_pass: bool = False
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"
 

@@ -586,10 +586,24 @@ def sort_twiddled_msd(
         use_pallas = jax.default_backend() == "tpu"
 
     nplanes = len(planes)
+    # gather-apply passes (configs.SortConfig.use_gather_pass): stable
+    # multi-operand sorts ride a 1-operand sortkey network + in-kernel
+    # take_along_axis emits instead of multi-operand networks / the
+    # composite-key trick.  Stable natively, so the composite branch and
+    # the raw path are both skipped; the packed leaf (a full stable sort)
+    # composes with the stable-ordered runs these passes emit.
+    gather_pass = (
+        use_pallas
+        and stable
+        and bool(values)
+        and config is not None
+        and config.use_gather_pass
+    )
     if (
         stable
         and values
         and use_pallas
+        and not gather_pass
         and nplanes == 1
         and begin_bit == 0
         and end_bit == total_bits == 32
@@ -625,9 +639,12 @@ def sort_twiddled_msd(
         and end_bit == total_bits
         and total_bits == 32 * nplanes
     )
+    if gather_pass:
+        raw_ok = False
     if use_pallas:
         ops, (ctable, q_fin), overflow = _run_passes_pallas(
-            ops, nplanes, n, plan, unstable=(raw_ok and bool(values))
+            ops, nplanes, n, plan, unstable=(raw_ok and bool(values)),
+            gather=gather_pass,
         )
     else:
         ops, valid_u8, overflow = _run_passes_xla(
@@ -735,7 +752,7 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 
 def _run_passes_pallas(
     ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
-    unstable: bool = False,
+    unstable: bool = False, gather: bool = False,
 ) -> Tuple[List[jax.Array], Tuple[jax.Array, int], jax.Array]:
     """All partition passes via the fused kernel.
 
@@ -770,6 +787,7 @@ def _run_passes_pallas(
             n=(n if ctable is None else None),
             sorted_run=sorted_run,
             unstable=unstable,
+            gather_apply=gather,
             t_seg=spec.t_seg,
         )
         prev_s = spec.s
