@@ -672,3 +672,91 @@ def sort_tiles(
         interpret=interpret,
     )(*shaped)
     return tuple(o.reshape(T, K) for o in out)
+
+
+def _sortkey_gather_kernel(*refs, n_data: int, pad_rows: int, k: int,
+                           src_of_key):
+    """Sort the sortkey tile 1-operand, then move each data operand with a
+    take_along_axis gather using ``src_of_key(sorted_sortkey)`` (within-tile
+    source indices, clamped).  Data refs use the FLAT (nb, K) lane layout
+    the hardware gather wants; only the sortkey rides the network layout."""
+    sk_ref = refs[0]
+    ins = refs[1 : 1 + n_data]
+    sk_out = refs[1 + n_data]
+    outs = refs[2 + n_data :]
+
+    sk = sk_ref[...]                               # (nb, rows, LANES)
+    nb, rows, _ = sk.shape
+    if pad_rows:
+        pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
+        sk = jnp.concatenate([sk, pad], axis=1)
+    sk = _sort_network([sk])[0]
+    if pad_rows:
+        sk = sk[:, :rows]
+    sk_out[...] = sk
+    src = jnp.minimum(src_of_key(sk.reshape(nb, k)), k - 1)  # (nb, K) int32
+    for o, ref_in in zip(outs, ins):
+        o[...] = jnp.take_along_axis(ref_in[...], src, axis=1)
+
+
+def sort_tiles_sortkey_gather(
+    sortkey: jax.Array,
+    datas: Sequence[jax.Array],
+    src_of_key,
+    *,
+    batch: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """``sort_tiles`` variant where payload operands skip the network.
+
+    The sortkey (T, K) uint32 is tile-sorted with the 1-operand bitonic
+    network; each data operand is then moved by an in-kernel gather with
+    source indices derived from the *sorted* sortkey via ``src_of_key``
+    (a traced elementwise fn (nb, K) uint32 -> int32 within-tile indices —
+    the caller packs source positions into the sortkey's low field).
+    Replaces the ~2x-per-extra-operand network cost with gathers; viability
+    is hardware-gated (stage_probe ``gather_wide`` / ``leaf_gather``).
+
+    Returns (sorted sortkey, gathered data operands).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sk = jnp.asarray(sortkey)
+    ops = [jnp.asarray(o) for o in datas]
+    T, K = sk.shape
+    if K % LANES:
+        raise ValueError(f"tile size {K} must be a multiple of {LANES}")
+    rows = K // LANES
+    pad_rows = (1 << (K - 1).bit_length()) // LANES - rows
+    n_data = len(ops)
+    nb = _pick_batch(T, K, 1 + n_data, batch)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sortkey_gather_kernel, n_data=n_data, pad_rows=pad_rows, k=K,
+            src_of_key=src_of_key,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32)]
+        + [jax.ShapeDtypeStruct((T, K), o.dtype) for o in ops],
+        grid=(T // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((nb, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in ops
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((nb, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in ops
+        ],
+        interpret=interpret,
+    )(sk.reshape(T, rows, LANES), *ops)
+    return out[0].reshape(T, K), tuple(out[1:])

@@ -373,6 +373,7 @@ def _leaf_sort(
     valid: jax.Array,
     plan: MsdPlan,
     use_pallas: bool,
+    gather: bool = False,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Sort each final segment by the remaining key bits, stably.
 
@@ -440,9 +441,32 @@ def _leaf_sort(
             o.reshape(nseg // pack, pack * seg) for o in carried
         ]
         if use_pallas:
-            from tpusort.kernels.bitonic import sort_tiles
+            if gather and len(to_sort) > 1:
+                # gather-apply leaf: the (segid|rem|idx) sortkey's own
+                # fields give each sorted slot's within-tile source
+                # (segid*seg + idx), so payload operands skip the network
+                from tpusort.kernels.bitonic import sort_tiles_sortkey_gather
 
-            sorted_all = list(sort_tiles(to_sort))
+                idx_mask = jnp.uint32((1 << idx_bits) - 1)
+                shift_seg = plan.rem_width + idx_bits
+
+                def _src(sk):
+                    src = (sk & idx_mask).astype(jnp.int32)
+                    if segid_bits:
+                        src = src + (
+                            (sk >> jnp.uint32(shift_seg)).astype(jnp.int32)
+                            * seg
+                        )
+                    return src
+
+                sk_sorted, datas = sort_tiles_sortkey_gather(
+                    to_sort[0], to_sort[1:], _src
+                )
+                sorted_all = [sk_sorted] + list(datas)
+            else:
+                from tpusort.kernels.bitonic import sort_tiles
+
+                sorted_all = list(sort_tiles(to_sort))
         else:
             sorted_all = _sort_tiles_xla(to_sort)
         sorted_key = sorted_all[0].reshape(nseg, seg)
@@ -693,6 +717,7 @@ def sort_twiddled_msd(
             valid_arr = valid_u8.reshape(plan.n_segments, plan.seg) != 0
         ops, seg_counts = _leaf_sort(
             ops, planes_slice, valid_arr, plan, use_pallas,
+            gather=gather_pass,
         )
         if use_pallas:
             from tpusort.kernels.collapse import collapse_segments
