@@ -56,14 +56,35 @@ def _time(fn, *args, iters=3, warmup=1):
 
 
 def main():
+    # the environment's sitecustomize force-selects the TPU platform and
+    # overrides even JAX_PLATFORMS=cpu from the env; honor an explicit cpu
+    # request programmatically BEFORE the first device query (CI smoke runs)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2n", type=int, default=28)
     ap.add_argument("--algorithm", default="auto")
     ap.add_argument("--pairs", action="store_true")
     ap.add_argument("--unstable", action="store_true",
                     help="unstable pair semantics (reference MSB parity)")
+    ap.add_argument("--gather", action="store_true",
+                    help="flip use_gather_pass on for this run's configs "
+                         "(A/B the gather-apply pass/leaf vs the default)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
+
+    if args.gather:
+        from dataclasses import replace as _replace
+
+        from tpusort.configs import get_config, register_config
+
+        plat = jax.default_backend()
+        for bits in (32, 64):
+            for hv in (False, True):
+                cfg = get_config(bits, hv, plat)
+                register_config(bits, hv, plat,
+                                _replace(cfg, use_gather_pass=True))
 
     n = 1 << args.log2n
     overhead = _time(jax.jit(lambda a: a),

@@ -40,6 +40,12 @@ T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --starts-
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 8192
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 32768
 
+# 3a) big-tile networks: merge-entry stages amortize with tile size
+#     (k=32K merge-from-512 is 75 stages per 32K elems vs 60 per 16K)
+T=600 run python benchmarks/stage_probe.py network --log2n 26 --k 32768 --nb 2
+T=600 run python benchmarks/stage_probe.py merge --log2n 26 --k 32768 --nb 2 --merge-from 512
+T=600 run python benchmarks/stage_probe.py merge --log2n 26 --k 65536 --nb 1 --merge-from 512
+
 # 3b) stable-pairs pass: general (multi-operand network) vs gather-apply
 T=600 run python benchmarks/stage_probe.py pass_gather --log2n 22 --check
 T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26
@@ -52,6 +58,7 @@ T=900 run python bench.py --log2n 29
 T=1200 run python bench.py --log2n 30
 T=900 run python bench.py --log2n 26 --pairs --unstable
 T=900 run python bench.py --log2n 26 --pairs
+T=900 run python bench.py --log2n 26 --pairs --gather
 
 echo "=== drive complete $(date) ===" | tee -a "$LOG"
 
