@@ -40,6 +40,11 @@ T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --starts-
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 8192
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 32768
 
+# 3a0) 16-bit network rate: if u16 compare-exchange runs ~2x, a compact
+#      u16 (digit|idx) sortkey + gather-apply path undercuts the u32 floor
+T=600 run python benchmarks/stage_probe.py network --log2n 26 --dtype u16
+T=600 run python benchmarks/stage_probe.py network --log2n 26 --dtype u32
+
 # 3a) big-tile networks: merge-entry stages amortize with tile size
 #     (k=32K merge-from-512 is 75 stages per 32K elems vs 60 per 16K)
 T=600 run python benchmarks/stage_probe.py network --log2n 26 --k 32768 --nb 2

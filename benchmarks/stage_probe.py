@@ -57,11 +57,18 @@ def _measure(f, *args):
     return float("nan")
 
 
-def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0):
-    """Pure bitonic sort (or merge) kernel over (T, K) tiles, 1 operand."""
+def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
+                  dtype_name: str = "u32"):
+    """Pure bitonic sort (or merge) kernel over (T, K) tiles, 1 operand.
+
+    ``--dtype u16``: same network on uint16 vregs — if Mosaic packs 16-bit
+    lanes 2x, a compact (digit|idx) u16 sortkey halves the per-stage cost
+    and a gather-apply keys path opens below the u32 network floor."""
     n = 1 << log2n
     T = n // k
     rows = k // LANES
+    dt_map = {"u32": jnp.uint32, "u16": jnp.uint16, "s16": jnp.int16}
+    dt_el = dt_map[dtype_name]
 
     def kern(x_ref, o_ref):
         x = [x_ref[...]]
@@ -75,11 +82,13 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0):
                         memory_space=pltpu.VMEM)
     f = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), dt_el),
         grid=(T // nb,),
         in_specs=[spec], out_specs=spec,
     )
     x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    if dt_el != jnp.uint32:
+        x = (x >> jnp.uint32(16)).astype(dt_el)
     if merge_from:
         xs = x.reshape(T, -1, merge_from)
         x = jax.lax.sort(xs, dimension=2).reshape(T, rows, LANES)
@@ -91,7 +100,7 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0):
     else:
         stages = lgk * (lgk + 1) // 2
     _report(f"{'merge' if merge_from else 'sort'} k={k} nb={nb} "
-            f"({stages} stages)", dt, n)
+            f"{dtype_name} ({stages} stages)", dt, n)
     print(f"  per-stage: {dt/stages*1e3:.4f} ms "
           f"({dt/stages/n*1e12:.3f} ps/elem/stage)")
 
@@ -579,11 +588,12 @@ def main():
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
+    el_dt = args.dtype if args.dtype in ("u32", "u16", "s16") else "u32"
     if args.probe == "network":
-        probe_network(args.log2n, args.k, args.nb)
+        probe_network(args.log2n, args.k, args.nb, dtype_name=el_dt)
     elif args.probe == "merge":
         probe_network(args.log2n, args.k, args.nb,
-                      merge_from=args.merge_from)
+                      merge_from=args.merge_from, dtype_name=el_dt)
     elif args.probe == "pass_full":
         probe_pass_full(args.log2n, r=args.r, starts_rows=args.starts_rows,
                         s=args.s, k=args.k)
