@@ -32,16 +32,25 @@ def _sync(out):
 
 
 def main():
+    # the environment's sitecustomize force-selects the TPU platform and
+    # overrides even JAX_PLATFORMS=cpu from the env; honor an explicit cpu
+    # request programmatically BEFORE the first device query
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2n", type=int, default=24)
     ap.add_argument("--pairs", action="store_true")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="split the all-to-all into this many chunks "
+                         "(double-buffered overlap with local binning)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
     d = len(jax.devices())
     n = (1 << args.log2n) // d * d
     mesh = jax.make_mesh((d,), ("x",))
-    sorter = make_global_sort(mesh)
+    sorter = make_global_sort(mesh, chunks=args.chunks)
 
     keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
     vals = jnp.arange(n, dtype=jnp.uint32) if args.pairs else None
@@ -57,12 +66,13 @@ def main():
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     out = fn(*a)
-    ok = bool(jnp.all(jnp.diff((out[0] if args.pairs else out)
-                               .astype(jnp.int64)) >= 0))
+    host = np.asarray(out[0] if args.pairs else out).astype(np.int64)
+    ok = bool(np.all(np.diff(host) >= 0))
     print(json.dumps({
         "metric": "global_sort_keys_per_sec",
         "devices": d,
         "n": n,
+        "chunks": args.chunks,
         "value": round(n / dt),
         "ms": round(dt * 1e3, 2),
         "sorted": ok,
