@@ -129,8 +129,8 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
 
 
 def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
-                      n_values: int = 1, gather: bool = True,
-                      check: bool = False):
+                      n_values: int = 1, n_planes: int = 1,
+                      gather: bool = True, check: bool = False):
     """The stable pairs pass, general path (every operand rides the
     network) vs gather-apply (1-operand sortkey network + take_along_axis
     emit).  The decisive measurement for stable pairs / u64 throughput:
@@ -142,33 +142,39 @@ def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
     s = ((3 * k // (2 * r)) // 128) * 128
     width = r.bit_length() - 1
     T = n // k
-    keys = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
+    planes = [jax.random.bits(jax.random.key(90 + i), (T, k),
+                              dtype=jnp.uint32) for i in range(n_planes)]
     vals = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
             for i in range(n_values)]
+    lo_bit = 32 * n_planes - width
 
-    def fn(ga, keys, *vals):
+    def fn(ga, *ops):
         data, counts = partition_pass_fused(
-            [keys], list(vals), None, r=r, s=s, lo_bit=32 - width,
-            width=width, n=n, t_seg=T, gather_apply=ga, interpret=False,
+            list(ops[:n_planes]), list(ops[n_planes:]), None, r=r, s=s,
+            lo_bit=lo_bit, width=width, n=n, t_seg=T, gather_apply=ga,
+            interpret=False,
         )
         return data[0], counts
 
+    ops = planes + vals
     if check:
-        d0, c0 = jax.jit(functools.partial(fn, False))(keys, *vals)
-        d1, c1 = jax.jit(functools.partial(fn, True))(keys, *vals)
+        d0, c0 = jax.jit(functools.partial(fn, False))(*ops)
+        d1, c1 = jax.jit(functools.partial(fn, True))(*ops)
         ok = np.array_equal(np.asarray(c0), np.asarray(c1))
         A = np.asarray(d0).reshape(1, r, T, s)
         B = np.asarray(d1).reshape(1, r, T, s)
         c = np.asarray(c0)
         for d in range(r):
             for t in range(T):
-                if not np.array_equal(A[0, d, t, : c[t, d]],
-                                      B[0, d, t, : c[t, d]]):
+                # run multisets (the raw baseline emits runs key-sorted,
+                # the gather path in stable input order)
+                if not np.array_equal(np.sort(A[0, d, t, : c[t, d]]),
+                                      np.sort(B[0, d, t, : c[t, d]])):
                     ok = False
         print(f"pass_gather check (log2n={log2n}):", ok)
-    dt = _measure(functools.partial(fn, gather), keys, *vals)
+    dt = _measure(functools.partial(fn, gather), *ops)
     _report(f"pass_{'gather' if gather else 'stable'} k={k} r={r} s={s} "
-            f"values={n_values}", dt, n)
+            f"planes={n_planes} values={n_values}", dt, n)
 
 
 def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
@@ -585,6 +591,7 @@ def main():
     ap.add_argument("--s", type=int, default=0)
     ap.add_argument("--w", type=int, default=2)
     ap.add_argument("--values", type=int, default=1)
+    ap.add_argument("--planes", type=int, default=1)
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
@@ -608,7 +615,7 @@ def main():
         probe_gather_wide()
     elif args.probe in ("pass_gather", "pass_stable"):
         probe_pass_gather(args.log2n, r=args.r, k=args.k,
-                          n_values=args.values,
+                          n_values=args.values, n_planes=args.planes,
                           gather=(args.probe == "pass_gather"),
                           check=args.check)
     elif args.probe == "rankdest":
