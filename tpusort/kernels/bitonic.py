@@ -760,3 +760,88 @@ def sort_tiles_sortkey_gather(
         interpret=interpret,
     )(sk.reshape(T, rows, LANES), *ops)
     return out[0].reshape(T, K), tuple(out[1:])
+
+
+def _multikey_gather_kernel(*refs, n_keys: int, n_data: int, pad_rows: int,
+                            k: int):
+    """Lexicographic multi-key tile sort where data operands skip the
+    network: sort (key_0, ..., key_{n-1}, iota) with the position iota as
+    the stability tiebreak AND the gather source, then move each data
+    operand with one take_along_axis."""
+    kin = refs[:n_keys]
+    din = refs[n_keys : n_keys + n_data]
+    outs = refs[n_keys + n_data :]
+
+    keys = [r[...] for r in kin]                   # (nb, rows, LANES)
+    nb, rows, _ = keys[0].shape
+    shape = (nb, rows, LANES)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    ).astype(jnp.uint32)
+    if pad_rows:
+        pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
+        keys = [jnp.concatenate([a, pad], axis=1) for a in keys]
+        idx = jnp.concatenate([idx, pad], axis=1)
+    sorted_all = _sort_network(keys + [idx], num_keys=n_keys + 1)
+    sidx = sorted_all[n_keys]
+    if pad_rows:
+        sidx = sidx[:, :rows]
+    src = jnp.minimum(sidx.astype(jnp.int32).reshape(nb, k), k - 1)
+    for o, d in zip(outs, din):
+        o[...] = jnp.take_along_axis(d[...], src, axis=1)
+
+
+def sort_tiles_multikey_gather(
+    keys: Sequence[jax.Array],
+    datas: Sequence[jax.Array],
+    *,
+    batch: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, ...]:
+    """Stable lexicographic tile sort of ``datas`` by ``keys``.
+
+    keys/datas: (T, K) uint32.  Keys are sort-only (consumed, garbage slots
+    pre-masked to 0xFFFFFFFF by the caller so they sort last); each data
+    operand is moved by an in-kernel gather on the sorted position iota
+    (the stability tiebreak), not by riding the network.  The Pallas
+    replacement for the wide-remainder leaf's multi-key ``lax.sort``
+    (64-bit keys / few consumed bits).  Returns the gathered data operands.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kin = [jnp.asarray(o) for o in keys]
+    ops = [jnp.asarray(o) for o in datas]
+    T, K = kin[0].shape
+    if K % LANES:
+        raise ValueError(f"tile size {K} must be a multiple of {LANES}")
+    rows = K // LANES
+    pad_rows = (1 << (K - 1).bit_length()) // LANES - rows
+    n_keys, n_data = len(kin), len(ops)
+    nb = _pick_batch(T, K, n_keys + 1 + n_data, batch)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _multikey_gather_kernel, n_keys=n_keys, n_data=n_data,
+            pad_rows=pad_rows, k=K,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((T, K), o.dtype) for o in ops],
+        grid=(T // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in kin
+        ]
+        + [
+            pl.BlockSpec((nb, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in ops
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in ops
+        ],
+        interpret=interpret,
+    )(*[o.reshape(T, rows, LANES) for o in kin], *ops)
+    return tuple(out)

@@ -489,12 +489,25 @@ def _leaf_sort(
             32 * len(planes),
         )
         keys = [jnp.where(valid, mp, jnp.uint32(0xFFFFFFFF)) for mp in masked]
-        keys.append(jnp.where(valid, idx, jnp.uint32(0xFFFFFFFF)))
-        sorted_ops = list(
-            jax.lax.sort(
-                keys + tiled, dimension=1, num_keys=len(keys), is_stable=False
-            )
-        )[len(keys):]
+        if gather and use_pallas and seg % 128 == 0:
+            # Pallas multikey leaf: data operands skip the network (gathered
+            # by the sorted position-iota tiebreak) — replaces the XLA
+            # lax.sort that previously served this branch.  Garbage ordering
+            # is safe without an idx sentinel: pass 0 always consumes top
+            # key bits, so a valid element's top MASKED plane is strictly
+            # below 0xFFFFFFFF and garbage (all-ones on every key plane)
+            # sorts after every valid element.
+            from tpusort.kernels.bitonic import sort_tiles_multikey_gather
+
+            sorted_ops = list(sort_tiles_multikey_gather(keys, tiled))
+        else:
+            keys.append(jnp.where(valid, idx, jnp.uint32(0xFFFFFFFF)))
+            sorted_ops = list(
+                jax.lax.sort(
+                    keys + tiled, dimension=1, num_keys=len(keys),
+                    is_stable=False
+                )
+            )[len(keys):]
     return [o.reshape(-1) for o in sorted_ops], seg_counts
 
 
