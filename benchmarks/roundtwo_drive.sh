@@ -58,6 +58,9 @@ T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26
 T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --values 2
 T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26 --planes 2 --values 0
 T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --planes 2 --values 0
+T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 22 --check
+T=600 run python benchmarks/stage_probe.py leaf_multi --log2n 26
+T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 26
 
 # 4) headline + ceilings
 T=900 run python bench.py --log2n 28

@@ -177,6 +177,47 @@ def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
             f"planes={n_planes} values={n_values}", dt, n)
 
 
+def probe_leaf_gather(log2n: int, k: int = 1 << 14, n_values: int = 2,
+                      gather: bool = True, check: bool = False):
+    """Leaf-level A/B: multi-operand sort_tiles vs sortkey-gather variant
+    on identical shapes (sortkey + n_values payload operands)."""
+    from tpusort.kernels.bitonic import (
+        sort_tiles, sort_tiles_sortkey_gather,
+    )
+
+    n = 1 << log2n
+    T = n // k
+    idx_bits = k.bit_length() - 1
+    sk = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
+    # sortkey low field = within-tile position (the gather source)
+    sk = (sk & jnp.uint32(~((1 << idx_bits) - 1) & 0xFFFFFFFF)) | jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.uint32)[None, :], (T, k))
+    datas = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
+             for i in range(n_values)]
+
+    def src_of(s):
+        return (s & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+
+    if gather:
+        fn = jax.jit(lambda s_, *d: sort_tiles_sortkey_gather(
+            s_, list(d), src_of, interpret=False))
+    else:
+        fn = jax.jit(lambda s_, *d: sort_tiles(
+            [s_] + list(d), interpret=False))
+    if check:
+        g = jax.jit(lambda s_, *d: sort_tiles_sortkey_gather(
+            s_, list(d), src_of, interpret=False))(sk, *datas)
+        b = jax.jit(lambda s_, *d: sort_tiles(
+            [s_] + list(d), interpret=False))(sk, *datas)
+        ok = np.array_equal(np.asarray(g[0]), np.asarray(b[0]))
+        for x, y in zip(g[1], b[1:]):
+            ok &= np.array_equal(np.asarray(x), np.asarray(y))
+        print(f"leaf_gather check (log2n={log2n}):", ok)
+    dt = _measure(fn, sk, *datas)
+    _report(f"leaf_{'gather' if gather else 'multi'} k={k} "
+            f"values={n_values}", dt, n)
+
+
 def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
     """Starts/counts computation cost, isolated: full-tile reduces
     (today's) vs row-hierarchical (row-last vector + one-row residual)."""
@@ -580,7 +621,8 @@ def main():
                                       "starts", "starts_rows", "matmul",
                                       "gather", "rankdest", "thin_mm",
                                       "rowperm_mm", "dynstore", "batch_mm",
-                                      "pass_gather", "pass_stable"])
+                                      "pass_gather", "pass_stable",
+                                      "leaf_gather", "leaf_multi"])
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -613,6 +655,10 @@ def main():
     elif args.probe == "gather":
         probe_gather()
         probe_gather_wide()
+    elif args.probe in ("leaf_gather", "leaf_multi"):
+        probe_leaf_gather(args.log2n, k=args.k, n_values=args.values,
+                          gather=(args.probe == "leaf_gather"),
+                          check=args.check)
     elif args.probe in ("pass_gather", "pass_stable"):
         probe_pass_gather(args.log2n, r=args.r, k=args.k,
                           n_values=args.values, n_planes=args.planes,
