@@ -3,6 +3,10 @@
 # recovers; each step is a separate small compile unit under timeout so a
 # wedged remote-compile service cannot eat the session. Appends to
 # benchmarks/results/roundtwo_drive.log.
+#
+# Ordered by value-per-minute in case the tunnel dies again: headline
+# benches first, then the gather A/Bs (decide the stable-pairs config
+# flip), then the architecture-decision probe battery.
 cd /root/repo
 LOG=benchmarks/results/roundtwo_drive.log
 run() {
@@ -13,7 +17,26 @@ run() {
 # 0) recovery check
 T=120 run python -c "import jax,jax.numpy as jnp,numpy as np; print('TPU OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))" || exit 1
 
-# 1) architecture-decision probes (cheap, decisive)
+# 1) headline + ceilings (the round's recorded metric)
+T=900 run python bench.py --log2n 28
+T=900 run python bench.py --log2n 26 --pairs
+T=900 run python bench.py --log2n 26 --pairs --gather
+T=900 run python bench.py --log2n 26 --pairs --unstable
+T=900 run python bench.py --log2n 29
+T=1200 run python bench.py --log2n 30
+
+# 2) stable-pairs / u64 gather A/B (decides SortConfig.use_gather_pass)
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 22 --check
+T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --values 2
+T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26 --planes 2 --values 0
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --planes 2 --values 0
+T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 22 --check
+T=600 run python benchmarks/stage_probe.py leaf_multi --log2n 26
+T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 26
+
+# 3) architecture-decision probes (cheap, decisive)
 run python benchmarks/stage_probe.py gather
 run python benchmarks/stage_probe.py dynstore --check
 run python benchmarks/stage_probe.py thin_mm --w 2
@@ -28,51 +51,30 @@ run python benchmarks/stage_probe.py matmul --dtype bf16
 run python benchmarks/stage_probe.py matmul --dtype s8
 run python benchmarks/stage_probe.py matmul --dtype f32
 
-# 2) starts variants (r=128 enabler measurement)
+# 4) 16-bit network rate: if u16 compare-exchange runs ~2x, a compact
+#    u16 (digit|idx) sortkey + gather-apply path undercuts the u32 floor
+T=600 run python benchmarks/stage_probe.py network --log2n 26 --dtype u16
+T=600 run python benchmarks/stage_probe.py network --log2n 26 --dtype u32
+
+# 5) starts variants (r=128 enabler) + pass-level variants
 run python benchmarks/stage_probe.py starts --r 32
 run python benchmarks/stage_probe.py starts_rows --r 32
 run python benchmarks/stage_probe.py starts --r 128
 run python benchmarks/stage_probe.py starts_rows --r 128
-
-# 3) pass-level variants
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --starts-rows
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 8192
 T=600 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 32768
 
-# 3a0) 16-bit network rate: if u16 compare-exchange runs ~2x, a compact
-#      u16 (digit|idx) sortkey + gather-apply path undercuts the u32 floor
-T=600 run python benchmarks/stage_probe.py network --log2n 26 --dtype u16
-T=600 run python benchmarks/stage_probe.py network --log2n 26 --dtype u32
-
-# 3a) big-tile networks: merge-entry stages amortize with tile size
-#     (k=32K merge-from-512 is 75 stages per 32K elems vs 60 per 16K)
+# 6) big-tile networks: merge-entry stages amortize with tile size
+#    (k=32K merge-from-512 is 75 stages per 32K elems vs 60 per 16K)
 T=600 run python benchmarks/stage_probe.py network --log2n 26 --k 32768 --nb 2
 T=600 run python benchmarks/stage_probe.py merge --log2n 26 --k 32768 --nb 2 --merge-from 512
 T=600 run python benchmarks/stage_probe.py merge --log2n 26 --k 65536 --nb 1 --merge-from 512
 
-# 3b) stable-pairs pass: general (multi-operand network) vs gather-apply
-T=600 run python benchmarks/stage_probe.py pass_gather --log2n 22 --check
-T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26
-T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26
-T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --values 2
-T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26 --planes 2 --values 0
-T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --planes 2 --values 0
-T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 22 --check
-T=600 run python benchmarks/stage_probe.py leaf_multi --log2n 26
-T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 26
-
-# 4) headline + ceilings
-T=900 run python bench.py --log2n 28
-T=900 run python bench.py --log2n 29
-T=1200 run python bench.py --log2n 30
-T=900 run python bench.py --log2n 26 --pairs --unstable
-T=900 run python bench.py --log2n 26 --pairs
-T=900 run python bench.py --log2n 26 --pairs --gather
-
 echo "=== drive complete $(date) ===" | tee -a "$LOG"
 
-# 5) new-path validations (fused leaf+collapse, argsort composite)
+# 7) new-path validations (fused leaf+collapse, argsort composite)
 T=900 run python - <<'PYEOF'
 import time, jax, jax.numpy as jnp, numpy as np
 import tpusort
