@@ -394,3 +394,27 @@ def test_msd_gather_pass_u64_pairs_interpret():
         np.asarray(sp[1]).astype(np.uint64)
     np.testing.assert_array_equal(got, comp[order])
     np.testing.assert_array_equal(np.asarray(sv[0]), np.asarray(vals)[order])
+
+
+@pytest.mark.slow
+def test_msd_gather_pass_production_geometry_soak():
+    """Gather-apply pairs at the PRODUCTION plan geometry (k=16384, r=32,
+    s from the planner) on a 2^20 input — interpret-mode validation of the
+    exact shapes the chip will run (small-geometry tests miss scale-
+    dependent index math)."""
+    from tpusort.configs import SortConfig
+
+    n = 1 << 20
+    keys = datagen.entropy_keys(jax.random.key(33), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    planes, traits = td.twiddle_in(keys)
+    cfg = SortConfig(use_gather_pass=True)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, config=cfg,
+        plan_kwargs=dict(k=16384, r=32, min_n=1),
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(sv[0]), wv)
