@@ -67,7 +67,8 @@ def _linear_pos(nb: int, rows: int) -> jax.Array:
 
 
 def _valid_from(
-    counts_ref, q: int, nb: int, rows: int, k: int, n: Optional[int]
+    counts_ref, q: int, nb: int, rows: int, k: int, n: Optional[int],
+    flat: bool = False,
 ):
     """Per-element validity.
 
@@ -76,7 +77,30 @@ def _valid_from(
     table — from the global element index vs n.  The counts chain replaces
     the earlier u8 mask arrays: validity is fully determined by tiny
     per-run counts, so no per-element bytes ever touch HBM.
+
+    ``flat``: build the mask in the (nb, K) lane layout the gather kernel
+    uses (same invariant, different vreg layout — one definition so the
+    two kernels can never drift).
     """
+    if flat:
+        lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+        if counts_ref is not None:
+            n_sub = k // q
+            sub_pos = lin % q
+            valid_rows = []
+            for b in range(nb):
+                thr = jnp.concatenate(
+                    [
+                        jnp.full((1, q), counts_ref[b, 0, i], jnp.int32)
+                        for i in range(n_sub)
+                    ],
+                    axis=1,
+                )
+                valid_rows.append(sub_pos[b : b + 1] < thr)
+            return jnp.concatenate(valid_rows, axis=0)
+        base = pl.program_id(0) * (nb * k)
+        off = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) * k
+        return (base + off + lin) < n
     if counts_ref is not None:
         qrows = q // LANES
         n_sub = k // q
@@ -447,25 +471,8 @@ def _gather_kernel(
     counts_ref = refs[pos + n_data]
 
     rows = k // LANES
+    valid = _valid_from(cin_ref, q_in or 0, nb, rows, k, n, flat=True)
     lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-    if cin_ref is not None:
-        n_sub = k // q_in
-        sub_pos = lin % q_in
-        valid_rows = []
-        for b in range(nb):
-            thr = jnp.concatenate(
-                [
-                    jnp.full((1, q_in), cin_ref[b, 0, i], jnp.int32)
-                    for i in range(n_sub)
-                ],
-                axis=1,
-            )
-            valid_rows.append(sub_pos[b : b + 1] < thr)
-        valid = jnp.concatenate(valid_rows, axis=0)
-    else:
-        base = pl.program_id(0) * (nb * k)
-        off = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) * k
-        valid = (base + off + lin) < n
 
     planes = [ins[i][...] for i in range(n_planes)]
     digit = _extract_bits_arrays(planes, lo_bit, width)
@@ -530,8 +537,9 @@ def _pass_fused_gather(
     interpret: bool,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """pallas_call plumbing for the gather-apply pass (flat lane layout)."""
-    if (r << idx_bits) > (1 << 32):
-        raise ValueError("sortkey overflow: r * K must fit in 32 bits")
+    # max sortkey is (garbage digit r << idx_bits) | (K-1); reject wraps
+    if ((r + 1) << idx_bits) > (1 << 32):
+        raise ValueError("sortkey overflow: (r+1) * K must fit in 32 bits")
     T = ops[0].shape[0]
     n_data = n_planes + n_values
     inputs = list(ops)                                  # (T, K) flat
@@ -655,8 +663,9 @@ def partition_pass_fused(
     )
     if splitters is not None and not keys_only_fast:
         raise ValueError("splitters mode requires the raw-key path")
-    if not keys_only_fast and (r << idx_bits) > (1 << 32):
-        raise ValueError("sortkey overflow: r * K must fit in 32 bits")
+    # max sortkey is (garbage digit r << idx_bits) | (K-1); reject wraps
+    if not keys_only_fast and ((r + 1) << idx_bits) > (1 << 32):
+        raise ValueError("sortkey overflow: (r+1) * K must fit in 32 bits")
     if counts_in is not None:
         if q_in is None or q_in % LANES or K % q_in:
             raise ValueError(f"bad validity granularity q_in={q_in}")

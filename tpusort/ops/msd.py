@@ -676,8 +676,8 @@ def sort_twiddled_msd(
         and end_bit == total_bits
         and total_bits == 32 * nplanes
     )
-    if gather_pass:
-        raw_ok = False
+    # (gather_pass requires stable+values, so raw_ok is already False —
+    # the two conditions are mutually exclusive by construction)
     if use_pallas:
         ops, (ctable, q_fin), overflow = _run_passes_pallas(
             ops, nplanes, n, plan, unstable=(raw_ok and bool(values)),
