@@ -34,6 +34,29 @@ import tpusort
 TARGET_KEYS_PER_S = 2.0e9  # BASELINE.json north star, per chip
 
 
+def _mix(x):
+    """splitmix32 finalizer: order-independent multiset fingerprint."""
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _checks(k_out, k_in, v_out=None, v_in=None, stable=False):
+    """In-graph result verification (uint32 sums wrap mod 2^32):
+    sortedness, key-multiset fingerprints, (key,value)-pair-binding
+    fingerprint, and stability of enumerated values."""
+    ok = jnp.all(k_out[1:] >= k_out[:-1])
+    ok &= jnp.sum(_mix(k_out)) == jnp.sum(_mix(k_in))
+    ok &= jnp.sum(k_out) == jnp.sum(k_in)
+    if v_out is not None:
+        ok &= jnp.sum(_mix(k_out ^ _mix(v_out))) == jnp.sum(
+            _mix(k_in ^ _mix(v_in)))
+        if stable:
+            ok &= jnp.all((k_out[1:] != k_out[:-1])
+                          | (v_out[1:] > v_out[:-1]))
+    return ok
+
+
 @jax.jit
 def _probe(o):
     return jax.tree.map(lambda a: a.ravel()[:8], o)
@@ -71,6 +94,11 @@ def main():
     ap.add_argument("--gather", action="store_true",
                     help="flip use_gather_pass on for this run's configs "
                          "(A/B the gather-apply pass/leaf vs the default)")
+    ap.add_argument("--verify", action="store_true",
+                    help="in-graph verification after timing: sortedness + "
+                         "multiset checksums vs the input (on-chip, no "
+                         "full D2H; catches miscompiles hiding behind "
+                         "plausible timings)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -103,6 +131,8 @@ def main():
         z = (z ^ (z >> jnp.uint32(16))) * jnp.uint32(0x45D9F3B)
         return z ^ (z >> jnp.uint32(16))
 
+    verify_fn = None
+    verify_args = ()
     big_flag_mode = (
         not args.pairs
         and gen_inside
@@ -134,7 +164,14 @@ def main():
                 _hash_keys(s), algorithm="reference"))
             dt = _time(ref, 0, iters=args.iters) - overhead
         metric = "keys_per_sec_per_chip"
+        verify_fn = jax.jit(lambda s: _checks(fn(s)[0], _hash_keys(s)))
+        verify_args = (0,)
     elif args.pairs:
+        def _vrfy(k, v):
+            gk, gv = tpusort.sort(k, v, algorithm=args.algorithm,
+                                  stable=not args.unstable)
+            return _checks(gk, k, gv, v, stable=not args.unstable)
+
         if gen_inside:
             def fn(seed):
                 k = _hash_keys(seed)
@@ -142,6 +179,9 @@ def main():
                 return tpusort.sort(k, v, algorithm=args.algorithm,
                                     stable=not args.unstable)
             dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
+            verify_fn = jax.jit(lambda s: _vrfy(
+                _hash_keys(s), jnp.arange(n, dtype=jnp.uint32)))
+            verify_args = (0,)
         else:
             keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
             vals = jnp.arange(n, dtype=jnp.uint32)
@@ -151,6 +191,8 @@ def main():
                 )
             )
             dt = _time(fn, keys, vals, iters=args.iters) - overhead
+            verify_fn = jax.jit(_vrfy)
+            verify_args = (keys, vals)
         metric = "pairs_per_sec_per_chip"
     else:
         if gen_inside:
@@ -158,6 +200,8 @@ def main():
                 return tpusort.sort(_hash_keys(seed),
                                     algorithm=args.algorithm)
             dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
+            verify_fn = jax.jit(lambda s: _checks(fn(s), _hash_keys(s)))
+            verify_args = (0,)
         elif args.log2n <= 24:
             # small sizes: one sort is shorter than the host<->device sync
             # (~28 ms on the tunneled backend), so amortize REPS sequenced
@@ -178,20 +222,26 @@ def main():
             keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
             fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))
             dt = _time(fn, keys, iters=args.iters) - overhead
+            verify_fn = jax.jit(
+                lambda k: _checks(tpusort.sort(k, algorithm=args.algorithm),
+                                  k))
+            verify_args = (keys,)
         metric = "keys_per_sec_per_chip"
 
     dt = max(dt, 1e-9)
     value = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value),
-                "unit": "keys/s",
-                "vs_baseline": round(value / TARGET_KEYS_PER_S, 4),
-            }
+    row = {
+        "metric": metric,
+        "value": round(value),
+        "unit": "keys/s",
+        "vs_baseline": round(value / TARGET_KEYS_PER_S, 4),
+    }
+    if args.verify:
+        row["verified"] = (
+            bool(np.asarray(verify_fn(*verify_args)))
+            if verify_fn is not None else None  # scan branch: no plain output
         )
-    )
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

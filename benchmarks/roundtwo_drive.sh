@@ -18,12 +18,12 @@ run() {
 T=120 run python -c "import jax,jax.numpy as jnp,numpy as np; print('TPU OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))" || exit 1
 
 # 1) headline + ceilings (the round's recorded metric)
-T=900 run python bench.py --log2n 28
-T=900 run python bench.py --log2n 26 --pairs
-T=900 run python bench.py --log2n 26 --pairs --gather
+T=900 run python bench.py --log2n 28 --verify
+T=900 run python bench.py --log2n 26 --pairs --verify
+T=900 run python bench.py --log2n 26 --pairs --gather --verify
 T=900 run python bench.py --log2n 26 --pairs --unstable
 T=900 run python bench.py --log2n 29
-T=1200 run python bench.py --log2n 30
+T=1200 run python bench.py --log2n 30 --verify
 
 # 2) stable-pairs / u64 gather A/B (decides SortConfig.use_gather_pass)
 T=600 run python benchmarks/stage_probe.py pass_gather --log2n 22 --check
