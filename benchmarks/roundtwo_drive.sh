@@ -36,6 +36,13 @@ T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 22 --check
 T=600 run python benchmarks/stage_probe.py leaf_multi --log2n 26
 T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 26
 
+# 2b) u16-subtile sortkey pass (keys-only headline candidate) vs the raw
+#     pass_full baseline (section 5); --check validates on-chip lowering
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 22 --values 0 --check
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 16
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 1 --r 32
+
 # 3) architecture-decision probes (cheap, decisive)
 run python benchmarks/stage_probe.py gather
 run python benchmarks/stage_probe.py dynstore --check

@@ -177,6 +177,51 @@ def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
             f"planes={n_planes} values={n_values}", dt, n)
 
 
+def probe_pass_u16(log2n: int, r: int = 16, k: int = 1 << 14, c: int = 0,
+                   n_values: int = 0, check: bool = False):
+    """The u16-subtile sortkey pass at production geometry — the candidate
+    that undercuts the u32 network floor if 16-bit compare-exchange packs
+    2x (compare against pass_full, the raw keys-only baseline, and
+    network --dtype u16)."""
+    from tpusort.kernels.partition import (
+        partition_pass_fused, partition_pass_u16,
+    )
+
+    n = 1 << log2n
+    s = ((3 * k // (2 * r)) // 128) * 128
+    width = r.bit_length() - 1
+    T = n // k
+    keys = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
+    vals = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
+            for i in range(n_values)]
+
+    def fn(keys, *vals):
+        data, counts = partition_pass_u16(
+            [keys], list(vals), None, r=r, s=s, lo_bit=32 - width,
+            width=width, n=n, t_seg=T, c=c, interpret=False,
+        )
+        return data[0], counts
+
+    if check:
+        d1, c1 = jax.jit(fn)(keys, *vals)
+        d0, c0 = jax.jit(lambda kk, *vv: partition_pass_fused(
+            [kk], list(vv), None, r=r, s=s, lo_bit=32 - width, width=width,
+            n=n, t_seg=T, interpret=False))(keys, *vals)
+        ok = np.array_equal(np.asarray(c0), np.asarray(c1))
+        A = np.asarray(d0[0]).reshape(1, r, T, s)
+        B = np.asarray(d1).reshape(1, r, T, s)
+        cc = np.asarray(c0)
+        for d in range(r):
+            for t in range(T):
+                if not np.array_equal(np.sort(A[0, d, t, : cc[t, d]]),
+                                      np.sort(B[0, d, t, : cc[t, d]])):
+                    ok = False
+        print(f"pass_u16 check (log2n={log2n}):", ok)
+    dt = _measure(fn, keys, *vals)
+    _report(f"pass_u16 k={k} r={r} s={s} c={c or 'auto'} "
+            f"values={n_values}", dt, n)
+
+
 def probe_leaf_gather(log2n: int, k: int = 1 << 14, n_values: int = 2,
                       gather: bool = True, check: bool = False):
     """Leaf-level A/B: multi-operand sort_tiles vs sortkey-gather variant
@@ -622,7 +667,8 @@ def main():
                                       "gather", "rankdest", "thin_mm",
                                       "rowperm_mm", "dynstore", "batch_mm",
                                       "pass_gather", "pass_stable",
-                                      "leaf_gather", "leaf_multi"])
+                                      "leaf_gather", "leaf_multi",
+                                      "pass_u16"])
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -634,6 +680,7 @@ def main():
     ap.add_argument("--w", type=int, default=2)
     ap.add_argument("--values", type=int, default=1)
     ap.add_argument("--planes", type=int, default=1)
+    ap.add_argument("--c", type=int, default=0)
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
@@ -655,6 +702,9 @@ def main():
     elif args.probe == "gather":
         probe_gather()
         probe_gather_wide()
+    elif args.probe == "pass_u16":
+        probe_pass_u16(args.log2n, r=args.r, k=args.k, c=args.c,
+                       n_values=args.values, check=args.check)
     elif args.probe in ("leaf_gather", "leaf_multi"):
         probe_leaf_gather(args.log2n, k=args.k, n_values=args.values,
                           gather=(args.probe == "leaf_gather"),
