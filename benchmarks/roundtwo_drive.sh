@@ -97,3 +97,8 @@ assert np.all(np.diff(k[perm].astype(np.int64)) >= 0)
 assert np.bincount(perm, minlength=n).max() == 1
 print(f"argsort 2^26: {n/dt/1e6:.0f} M elem/s (sync-inclusive)")
 PYEOF
+
+# 8) segmented sort (CUB DeviceSegmentedRadixSort analog rows)
+T=600 run python benchmarks/segmented_bench.py --log2n 26 --seg 4096
+T=600 run python benchmarks/segmented_bench.py --log2n 26 --seg 16384
+T=600 run python benchmarks/segmented_bench.py --log2n 24 --seg 4096 --ragged
