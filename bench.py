@@ -79,11 +79,9 @@ def _time(fn, *args, iters=3, warmup=1):
 
 
 def main():
-    # the environment's sitecustomize force-selects the TPU platform and
-    # overrides even JAX_PLATFORMS=cpu from the env; honor an explicit cpu
-    # request programmatically BEFORE the first device query (CI smoke runs)
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from tpusort.utils import timing as _timing
+
+    _timing.honor_explicit_cpu()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2n", type=int, default=28)
@@ -159,12 +157,15 @@ def main():
         jfn = jax.jit(fn)
         dt = _time(jfn, 0, iters=args.iters) - overhead
         if bool(jfn(0)[1]):
-            # pathological distribution: report the honest exact path
-            ref = jax.jit(lambda s: tpusort.sort(
-                _hash_keys(s), algorithm="reference"))
-            dt = _time(ref, 0, iters=args.iters) - overhead
+            # pathological distribution: report (and verify) the honest
+            # exact path the host-side fallback decision selects
+            def ref(s):
+                return tpusort.sort(_hash_keys(s), algorithm="reference")
+            dt = _time(jax.jit(ref), 0, iters=args.iters) - overhead
+            verify_fn = jax.jit(lambda s: _checks(ref(s), _hash_keys(s)))
+        else:
+            verify_fn = jax.jit(lambda s: _checks(fn(s)[0], _hash_keys(s)))
         metric = "keys_per_sec_per_chip"
-        verify_fn = jax.jit(lambda s: _checks(fn(s)[0], _hash_keys(s)))
         verify_args = (0,)
     elif args.pairs:
         def _vrfy(k, v):

@@ -32,11 +32,9 @@ def _sync(out):
 
 
 def main():
-    # the environment's sitecustomize force-selects the TPU platform and
-    # overrides even JAX_PLATFORMS=cpu from the env; honor an explicit cpu
-    # request programmatically BEFORE the first device query
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from tpusort.utils import timing as _timing
+
+    _timing.honor_explicit_cpu()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2n", type=int, default=24)

@@ -12,6 +12,9 @@ LOG=benchmarks/results/roundtwo_drive.log
 run() {
   echo "=== $* === $(date +%H:%M:%S)" | tee -a "$LOG"
   timeout "${T:-420}" "$@" 2>&1 | grep -vE "WARNING|^I[0-9]" | tee -a "$LOG"
+  # the function's status must be the COMMAND's, not tee's, so the step-0
+  # recovery gate's `|| exit 1` actually fires on a dead tunnel
+  return "${PIPESTATUS[0]}"
 }
 
 # 0) recovery check

@@ -646,11 +646,7 @@ def probe_gather():
 
 
 def main():
-    # The environment's sitecustomize force-selects the TPU platform and
-    # overrides even JAX_PLATFORMS=cpu from the env; honor an explicit cpu
-    # request programmatically BEFORE the first device query.
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    timing.honor_explicit_cpu()
     # Off-TPU smoke runs (correctness checks only): force interpret mode.
     if jax.default_backend() != "tpu":
         real_call = pl.pallas_call

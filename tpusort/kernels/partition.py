@@ -1027,7 +1027,8 @@ def partition_pass_u16(
         c = 65536 // (r + 1)
         c = 1 << (c.bit_length() - 1)         # largest pow2 subtile
         c = min(c, K)
-    if K % LANES or (K & (K - 1)) or s % LANES or K % c or (c & (c - 1)):
+    if (K % LANES or (K & (K - 1)) or s % LANES or K % c
+            or (c & (c - 1)) or c % LANES):
         raise ValueError(f"bad tile geometry K={K} S={s} C={c}")
     if (r + 1) * c > 65536:
         raise ValueError(f"(r+1)*C={(r + 1) * c} exceeds the u16 sortkey")

@@ -17,7 +17,20 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
-__all__ = ["sync", "measure", "measure_overhead"]
+__all__ = ["sync", "measure", "measure_overhead", "honor_explicit_cpu"]
+
+
+def honor_explicit_cpu() -> None:
+    """Honor JAX_PLATFORMS=cpu from the environment.
+
+    The deployment's sitecustomize force-selects the tunneled TPU platform
+    and overrides even the env var, so CLI drivers that want CPU smoke runs
+    must set the config programmatically BEFORE the first device query —
+    call this at the top of every benchmark ``main()``."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
 
 @jax.jit
