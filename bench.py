@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--gather", action="store_true",
                     help="flip use_gather_pass on for this run's configs "
                          "(A/B the gather-apply pass/leaf vs the default)")
+    ap.add_argument("--u16", action="store_true",
+                    help="flip use_u16_pass on for this run's configs "
+                         "(A/B the u16-subtile passes vs the raw default)")
     ap.add_argument("--verify", action="store_true",
                     help="in-graph verification after timing: sortedness + "
                          "multiset checksums vs the input (on-chip, no "
@@ -100,7 +103,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
-    if args.gather:
+    if args.gather or args.u16:
         from dataclasses import replace as _replace
 
         from tpusort.configs import get_config, register_config
@@ -109,8 +112,11 @@ def main():
         for bits in (32, 64):
             for hv in (False, True):
                 cfg = get_config(bits, hv, plat)
-                register_config(bits, hv, plat,
-                                _replace(cfg, use_gather_pass=True))
+                if args.gather:
+                    cfg = _replace(cfg, use_gather_pass=True)
+                if args.u16:
+                    cfg = _replace(cfg, use_u16_pass=True)
+                register_config(bits, hv, plat, cfg)
 
     n = 1 << args.log2n
     overhead = _time(jax.jit(lambda a: a),

@@ -45,6 +45,7 @@ T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 22 --values 0 --chec
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 16
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 1 --r 32
+T=900 run python bench.py --log2n 28 --u16 --verify
 
 # 3) architecture-decision probes (cheap, decisive)
 run python benchmarks/stage_probe.py gather

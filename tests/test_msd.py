@@ -418,3 +418,43 @@ def test_msd_gather_pass_production_geometry_soak():
     wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
     np.testing.assert_array_equal(np.asarray(gk), wk)
     np.testing.assert_array_equal(np.asarray(sv[0]), wv)
+
+
+def test_msd_u16_pass_keys_interpret():
+    """Engine with SortConfig.use_u16_pass: keys-only passes ride the
+    compact u16-subtile sortkey kernel; the raw leaf full-sorts (no merge
+    entry from stable-order runs). Output must be oracle-exact."""
+    from tpusort.configs import SortConfig
+
+    n = 50_000
+    keys = datagen.entropy_keys(jax.random.key(40), n, 2, "uint32")
+    planes, traits = td.twiddle_in(keys)
+    cfg = SortConfig(use_u16_pass=True)
+    sp, _ = msd.sort_twiddled_msd(
+        planes, (), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    np.testing.assert_array_equal(
+        np.asarray(gk), np_sort_oracle(np.asarray(keys)))
+
+
+def test_msd_u16_pass_u64_keys_interpret():
+    from tpusort.configs import SortConfig
+
+    n = 30_000
+    rng = np.random.default_rng(41)
+    hi = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                     .astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                     .astype(np.uint32))
+    cfg = SortConfig(use_u16_pass=True)
+    sp, _ = msd.sort_twiddled_msd(
+        (hi, lo), (), begin_bit=0, end_bit=64, total_bits=64,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+    )
+    comp = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(lo).astype(np.uint64)
+    got = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(sp[1]).astype(np.uint64)
+    np.testing.assert_array_equal(got, np.sort(comp))

@@ -45,6 +45,10 @@ class SortConfig:
     #     take_along_axis emit) instead of multi-operand networks; flip on
     #     per-platform once the on-chip pass_gather probe beats pass_stable ---
     use_gather_pass: bool = False
+    # --- keys-only: u16-subtile sortkey passes (compact 16-bit network,
+    #     gather emit; leaf loses its merge entry).  Flip on once the
+    #     on-chip pass_u16 probe beats pass_full ---
+    use_u16_pass: bool = False
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"
 

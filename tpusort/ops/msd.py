@@ -636,6 +636,18 @@ def sort_twiddled_msd(
         and config is not None
         and config.use_gather_pass
     )
+    # keys-only u16-subtile passes (configs.SortConfig.use_u16_pass): a
+    # compact 16-bit (digit|idx) sortkey sorted per subtile + gather emit.
+    # Runs emerge in stable input order (not key-sorted), so the raw leaf
+    # enters with sorted_run=None (full sort, no merge entry).
+    u16_pass = (
+        use_pallas
+        and not values
+        and begin_bit == 0
+        and end_bit == total_bits == 32 * nplanes
+        and config is not None
+        and config.use_u16_pass
+    )
     if (
         stable
         and values
@@ -681,7 +693,7 @@ def sort_twiddled_msd(
     if use_pallas:
         ops, (ctable, q_fin), overflow = _run_passes_pallas(
             ops, nplanes, n, plan, unstable=(raw_ok and bool(values)),
-            gather=gather_pass,
+            gather=gather_pass, u16=u16_pass,
         )
     else:
         ops, valid_u8, overflow = _run_passes_xla(
@@ -717,7 +729,10 @@ def sort_twiddled_msd(
         # known before the kernel) — no separate compaction pass
         ops = sort_tiles_counts_collapsed(
             [o.reshape(nt, tile) for o in ops], ct, q_fin, n,
-            sorted_run=(last_s & -last_s), num_keys=nplanes,
+            # u16 passes emit runs in stable input order, not key-sorted —
+            # the leaf must full-sort (no merge entry)
+            sorted_run=(None if u16_pass else (last_s & -last_s)),
+            num_keys=nplanes,
         )
     else:
         if use_pallas:
@@ -790,7 +805,7 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 
 def _run_passes_pallas(
     ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
-    unstable: bool = False, gather: bool = False,
+    unstable: bool = False, gather: bool = False, u16: bool = False,
 ) -> Tuple[List[jax.Array], Tuple[jax.Array, int], jax.Array]:
     """All partition passes via the fused kernel.
 
@@ -799,7 +814,9 @@ def _run_passes_pallas(
     is the exchanged, pow2-granularity subdivision of those counts.
     Returns (ops, (counts_table (m/q,), q), overflow).
     """
-    from tpusort.kernels.partition import partition_pass_fused
+    from tpusort.kernels.partition import (
+        partition_pass_fused, partition_pass_u16,
+    )
 
     ctable = None
     q = None
@@ -813,21 +830,35 @@ def _run_passes_pallas(
         # largest pow2 divisor of the previous pass's run size gives sorted
         # subruns -> merge network instead of full sort (keys-only path)
         sorted_run = None if prev_s is None else (prev_s & -prev_s)
-        data, counts = partition_pass_fused(
-            tiled[:nplanes],
-            tiled[nplanes:],
-            cin,
-            q_in=q,
-            r=spec.r,
-            s=spec.s,
-            lo_bit=spec.lo_bit,
-            width=spec.width,
-            n=(n if ctable is None else None),
-            sorted_run=sorted_run,
-            unstable=unstable,
-            gather_apply=gather,
-            t_seg=spec.t_seg,
-        )
+        if u16:
+            data, counts = partition_pass_u16(
+                tiled[:nplanes],
+                tiled[nplanes:],
+                cin,
+                q_in=q,
+                r=spec.r,
+                s=spec.s,
+                lo_bit=spec.lo_bit,
+                width=spec.width,
+                n=(n if ctable is None else None),
+                t_seg=spec.t_seg,
+            )
+        else:
+            data, counts = partition_pass_fused(
+                tiled[:nplanes],
+                tiled[nplanes:],
+                cin,
+                q_in=q,
+                r=spec.r,
+                s=spec.s,
+                lo_bit=spec.lo_bit,
+                width=spec.width,
+                n=(n if ctable is None else None),
+                sorted_run=sorted_run,
+                unstable=unstable,
+                gather_apply=gather,
+                t_seg=spec.t_seg,
+            )
         prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
         # kernel wrote the digit-major exchanged layout directly (fused
