@@ -22,5 +22,6 @@ from tpusort.api import (
     unstable_sort_pairs,
 )
 from tpusort.configs import SortConfig, get_config, register_config
+from tpusort.ops.segmented import segmented_sort, sort_batched
 
 __version__ = "0.1.0"
