@@ -112,3 +112,51 @@ T=600 run python benchmarks/segmented_bench.py --log2n 24 --seg 4096 --ragged
 T=3000 run python benchmarks/entropy_matrix.py -k $((1<<28)) --csv benchmarks/results/entropy_matrix_r2_28.csv
 T=1800 run python benchmarks/entropy_matrix.py -k $((1<<26)) --pairs --stable --csv benchmarks/results/entropy_matrix_r2_pairs.csv
 T=1800 run python benchmarks/entropy_matrix.py -k $((1<<26)) --types uint64 --csv benchmarks/results/entropy_matrix_r2_u64.csv
+
+# 10) the /verify edge battery, on-chip (small compiles)
+T=900 run python - <<'PYEOF'
+import jax, jax.numpy as jnp, numpy as np, sys
+sys.path.insert(0, "tests")
+import tpusort
+from oracle import np_sort_oracle
+
+fails = []
+def chk(name, got, want):
+    g, w = np.asarray(got), np.asarray(want)
+    ok = g.dtype == w.dtype and np.array_equal(g.view(np.uint8), w.view(np.uint8))
+    print(("PASS" if ok else "FAIL"), name)
+    if not ok:
+        fails.append(name)
+
+# odd n (pass-0 pad validity)
+n = (1 << 20) + 12345
+k = jax.random.bits(jax.random.key(1), (n,), dtype=jnp.uint32)
+chk("odd-n u32 keys", tpusort.sort(k), np_sort_oracle(np.asarray(k)))
+
+# entropy-0 constant (overflow/skew tier must return exact)
+k0 = jnp.zeros((1 << 20,), jnp.uint32)
+chk("constant keys", tpusort.sort(k0), np.asarray(k0))
+
+# block of 0xFFFFFFFF (keys-only sentinel-tie multiset edge)
+km = np.asarray(jax.random.bits(jax.random.key(2), (1 << 20,), dtype=jnp.uint32))
+km[1000:200000] = 0xFFFFFFFF
+chk("0xFFFFFFFF block", tpusort.sort(jnp.asarray(km)), np_sort_oracle(km))
+
+# stable pairs with enumerated values
+n2 = 1 << 20
+kp = jax.random.bits(jax.random.key(3), (n2,), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+vp = jnp.arange(n2, dtype=jnp.uint32)
+gk, gv = tpusort.sort(kp, vp)
+wk, wv = np_sort_oracle(np.asarray(kp), np.asarray(vp))
+chk("stable pairs keys", gk, wk)
+chk("stable pairs values", gv, wv)
+
+# f32 with NaNs, descending
+f = np.asarray(jax.random.normal(jax.random.key(4), ((1 << 20),), jnp.float32))
+f[::97] = np.nan
+f[1::101] = -0.0
+gd = tpusort.sort_keys_descending(jnp.asarray(f))
+chk("f32 NaN descending", gd, np_sort_oracle(f, descending=True))
+
+print("edge battery:", "ALL PASS" if not fails else f"FAILURES: {fails}")
+PYEOF
