@@ -129,7 +129,7 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
 
 
 def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
-                      n_values: int = 1, n_planes: int = 1,
+                      n_values: int = 1, n_planes: int = 1, nb: int = 4,
                       gather: bool = True, check: bool = False):
     """The stable pairs pass, general path (every operand rides the
     network) vs gather-apply (1-operand sortkey network + take_along_axis
@@ -152,7 +152,7 @@ def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
         data, counts = partition_pass_fused(
             list(ops[:n_planes]), list(ops[n_planes:]), None, r=r, s=s,
             lo_bit=lo_bit, width=width, n=n, t_seg=T, gather_apply=ga,
-            interpret=False,
+            batch=nb, interpret=False,
         )
         return data[0], counts
 
@@ -178,7 +178,7 @@ def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
 
 
 def probe_pass_u16(log2n: int, r: int = 16, k: int = 1 << 14, c: int = 0,
-                   n_values: int = 0, check: bool = False):
+                   n_values: int = 0, nb: int = 4, check: bool = False):
     """The u16-subtile sortkey pass at production geometry — the candidate
     that undercuts the u32 network floor if 16-bit compare-exchange packs
     2x (compare against pass_full, the raw keys-only baseline, and
@@ -198,7 +198,7 @@ def probe_pass_u16(log2n: int, r: int = 16, k: int = 1 << 14, c: int = 0,
     def fn(keys, *vals):
         data, counts = partition_pass_u16(
             [keys], list(vals), None, r=r, s=s, lo_bit=32 - width,
-            width=width, n=n, t_seg=T, c=c, interpret=False,
+            width=width, n=n, t_seg=T, c=c, batch=nb, interpret=False,
         )
         return data[0], counts
 
@@ -700,7 +700,7 @@ def main():
         probe_gather_wide()
     elif args.probe == "pass_u16":
         probe_pass_u16(args.log2n, r=args.r, k=args.k, c=args.c,
-                       n_values=args.values, check=args.check)
+                       n_values=args.values, nb=args.nb, check=args.check)
     elif args.probe in ("leaf_gather", "leaf_multi"):
         probe_leaf_gather(args.log2n, k=args.k, n_values=args.values,
                           gather=(args.probe == "leaf_gather"),
@@ -708,6 +708,7 @@ def main():
     elif args.probe in ("pass_gather", "pass_stable"):
         probe_pass_gather(args.log2n, r=args.r, k=args.k,
                           n_values=args.values, n_planes=args.planes,
+                          nb=args.nb,
                           gather=(args.probe == "pass_gather"),
                           check=args.check)
     elif args.probe == "rankdest":
