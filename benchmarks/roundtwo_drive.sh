@@ -35,6 +35,7 @@ T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26
 T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --values 2
 T=600 run python benchmarks/stage_probe.py pass_stable --log2n 26 --planes 2 --values 0
 T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --planes 2 --values 0
+T=600 run python benchmarks/stage_probe.py pass_gather --log2n 26 --nb 8
 T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 22 --check
 T=600 run python benchmarks/stage_probe.py leaf_multi --log2n 26
 T=600 run python benchmarks/stage_probe.py leaf_gather --log2n 26
@@ -45,6 +46,7 @@ T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 22 --values 0 --chec
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 16
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 1 --r 32
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32 --nb 8
 T=900 run python bench.py --log2n 28 --u16 --verify
 
 # 3) architecture-decision probes (cheap, decisive)
