@@ -458,3 +458,21 @@ def test_msd_u16_pass_u64_keys_interpret():
     got = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
         np.asarray(sp[1]).astype(np.uint64)
     np.testing.assert_array_equal(got, np.sort(comp))
+
+
+def test_msd_u16_pass_constant_keys_fallback():
+    """u16 passes on entropy-0 input: every run overflows, the lax.cond
+    fallback must fire and return the exact result."""
+    from tpusort.configs import SortConfig
+
+    n = 40_000
+    keys = jnp.zeros((n,), jnp.uint32)
+    planes, traits = td.twiddle_in(keys)
+    cfg = SortConfig(use_u16_pass=True)
+    sp, _ = msd.sort_twiddled_msd(
+        planes, (), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+        skew_tier=False,
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    np.testing.assert_array_equal(np.asarray(gk), np.zeros(n, np.uint32))
