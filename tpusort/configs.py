@@ -49,6 +49,9 @@ class SortConfig:
     #     gather emit; leaf loses its merge entry).  Flip on once the
     #     on-chip pass_u16 probe beats pass_full ---
     use_u16_pass: bool = False
+    # tiles per partition-pass grid step (None = kernel default 4; the
+    # flat-layout gather/u16 kernels fill all 8 vreg sublanes at 8)
+    pass_batch: Optional[int] = None
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"
 

@@ -694,6 +694,7 @@ def sort_twiddled_msd(
         ops, (ctable, q_fin), overflow = _run_passes_pallas(
             ops, nplanes, n, plan, unstable=(raw_ok and bool(values)),
             gather=gather_pass, u16=u16_pass,
+            batch=(config.pass_batch if config is not None else None),
         )
     else:
         ops, valid_u8, overflow = _run_passes_xla(
@@ -806,6 +807,7 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 def _run_passes_pallas(
     ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
     unstable: bool = False, gather: bool = False, u16: bool = False,
+    batch: Optional[int] = None,
 ) -> Tuple[List[jax.Array], Tuple[jax.Array, int], jax.Array]:
     """All partition passes via the fused kernel.
 
@@ -842,6 +844,7 @@ def _run_passes_pallas(
                 width=spec.width,
                 n=(n if ctable is None else None),
                 t_seg=spec.t_seg,
+                batch=(batch or 4),
             )
         else:
             data, counts = partition_pass_fused(
@@ -858,6 +861,7 @@ def _run_passes_pallas(
                 unstable=unstable,
                 gather_apply=gather,
                 t_seg=spec.t_seg,
+                batch=(batch or 4),
             )
         prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
