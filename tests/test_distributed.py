@@ -208,3 +208,24 @@ def test_geometry_2e32_u64_traces(mesh):
         *[jax.ShapeDtypeStruct((n,), jnp.uint32) for _ in range(3)],
     )
     assert tuple(o.shape for o in out) == ((n,),) * 3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("chunks", [1, 4])
+def test_global_sort_scale_zipf_pairs(mesh, chunks):
+    """Capacity heuristic at scale: 2^20 heavy-skew zipf pairs across 8
+    devices, chunked and monolithic exchanges — exact against the oracle
+    (small-geometry tests cannot stress per-(src,dst) capacity variance)."""
+    n = 1 << 20
+    keys = datagen.zipf_keys(jax.random.key(7), n, alpha=1.1,
+                             dtype=jnp.uint32)
+    vals = datagen.enumerated_values(n)
+    sorter = gs.make_global_sort(mesh, chunks=chunks)
+    gk, gv = sorter(keys, vals)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    k = np.asarray(keys)
+    np.testing.assert_array_equal(gk, np.sort(k))
+    # unstable-pair semantics: every output pair maps back to its key and
+    # the value checksum is the full permutation
+    np.testing.assert_array_equal(k[gv], gk)
+    assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
