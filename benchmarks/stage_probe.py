@@ -18,9 +18,7 @@ from __future__ import annotations
 
 import argparse
 import functools
-import os
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
