@@ -261,8 +261,10 @@ def test_partition_gather_apply_counts_chain():
                 np.sort(A[t, d, : c[t, d]]), np.sort(B[t, d, : c[t, d]]))
 
 
-@pytest.mark.parametrize("c", [256, 2048])
-@pytest.mark.parametrize("t_seg", [None, 4])
+@pytest.mark.parametrize("c", [pytest.param(256, marks=pytest.mark.slow),
+                               2048])
+@pytest.mark.parametrize("t_seg", [pytest.param(None,
+                                                marks=pytest.mark.slow), 4])
 def test_partition_u16_matches_general(c, t_seg):
     """The u16-subtile sortkey pass must agree with the general stable
     path exactly on every valid slot and on counts (within-digit order is

@@ -439,6 +439,7 @@ def test_msd_u16_pass_keys_interpret():
         np.asarray(gk), np_sort_oracle(np.asarray(keys)))
 
 
+@pytest.mark.slow
 def test_msd_u16_pass_u64_keys_interpret():
     from tpusort.configs import SortConfig
 
@@ -460,6 +461,7 @@ def test_msd_u16_pass_u64_keys_interpret():
     np.testing.assert_array_equal(got, np.sort(comp))
 
 
+@pytest.mark.slow
 def test_msd_u16_pass_constant_keys_fallback():
     """u16 passes on entropy-0 input: every run overflows, the lax.cond
     fallback must fire and return the exact result."""
