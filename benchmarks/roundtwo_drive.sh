@@ -47,6 +47,11 @@ T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 16
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 1 --r 32
 T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32 --nb 8
+# subtile-size sweep: stages(C) falls ~log^2 with C but the window-select
+# cost grows with v_sub=K/C — find the knee ((r+1)*C <= 65536 throughout)
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32 --c 512
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 32 --c 256
+T=600 run python benchmarks/stage_probe.py pass_u16 --log2n 26 --values 0 --r 16 --c 1024
 T=900 run python bench.py --log2n 28 --u16 --verify
 
 # 3) architecture-decision probes (cheap, decisive)
