@@ -65,7 +65,16 @@ def main():
     dt = min(ts)
     out = fn(*a)
     host = np.asarray(out[0] if args.pairs else out).astype(np.int64)
-    ok = bool(np.all(np.diff(host) >= 0))
+    # sortedness alone would pass degenerate outputs (all zeros, one shard
+    # replicated); also require the key multiset to survive
+    kin = np.asarray(keys).astype(np.uint32)
+    kout = host.astype(np.uint32)
+    ok = bool(
+        np.all(np.diff(host) >= 0)
+        and kin.sum(dtype=np.uint64) == kout.sum(dtype=np.uint64)
+        and np.bitwise_xor.reduce(kin ^ (kin >> 7))
+        == np.bitwise_xor.reduce(kout ^ (kout >> 7))
+    )
     print(json.dumps({
         "metric": "global_sort_keys_per_sec",
         "devices": d,

@@ -53,12 +53,13 @@ def worker(pid: int, nprocs: int, port: int, n: int, k: int,
     sharding = NamedSharding(mesh, P("x"))
 
     # each process contributes only ITS shards (true multi-host dataflow:
-    # no process ever holds the global array)
+    # no process ever holds the global array — the per-shard seeded stream
+    # generates exactly [lo, hi), O(shard) memory and work)
     def _mk(idx):
         lo, hi = idx[0].start or 0, idx[0].stop or n
-        rng = np.random.default_rng(12345)  # same stream; slice per shard
-        full = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
-        return full[lo:hi]
+        rng = np.random.default_rng((12345, lo))
+        return rng.integers(0, 1 << 32, hi - lo,
+                            dtype=np.uint64).astype(np.uint32)
 
     keys = jax.make_array_from_callback((n,), sharding, _mk)
     vals = jax.make_array_from_callback(
@@ -79,30 +80,45 @@ def worker(pid: int, nprocs: int, port: int, n: int, k: int,
         assert np.all(a[:-1] <= a[1:]), f"shard {s.index} unsorted"
 
     # 2) cross-process boundary order + 3) global multiset checksums
+    #    (+ 4, pairs: (key, value)-BINDING checksum — a shuffle that
+    #    permutes values independently of keys must fail, not pass on
+    #    keys-only evidence)
+    def csum(x):
+        x = x.astype(jnp.uint32)
+        s1 = jax.lax.psum(jnp.sum(x, dtype=jnp.uint32), "x")
+        s2 = jax.lax.psum(jnp.sum(x ^ (x >> 7), dtype=jnp.uint32), "x")
+        return s1, s2
+
+    def pair_csum(kx, vx):
+        h = kx.astype(jnp.uint32) ^ (
+            vx.astype(jnp.uint32) * jnp.uint32(2654435761))
+        return csum(h)
+
     def _check(kin, kout):
         lo = kout[:1].astype(jnp.uint32)
         hi = kout[-1:].astype(jnp.uint32)
         b = jax.lax.all_gather(jnp.concatenate([lo, hi]), "x").reshape(-1)
         mono = jnp.all(b[:-1] <= b[1:])
-
-        def csum(x):
-            x = x.astype(jnp.uint32)
-            s1 = jax.lax.psum(jnp.sum(x, dtype=jnp.uint32), "x")
-            s2 = jax.lax.psum(
-                jnp.sum(x ^ (x >> 7), dtype=jnp.uint32), "x")
-            return s1, s2
-
         return mono, csum(kin), csum(kout)
 
-    from jax.sharding import PartitionSpec
-    spec = PartitionSpec("x")
+    spec = P("x")
     mono, cin, cout = jax.jit(
         jax.shard_map(_check, mesh=mesh, in_specs=(spec, spec),
-                      out_specs=(PartitionSpec(),) * 3, check_vma=False)
+                      out_specs=(P(),) * 3, check_vma=False)
     )(keys, out_keys)
     assert bool(mono), "shard boundaries decrease across processes"
     assert np.asarray(cin) .tolist() == np.asarray(cout).tolist(), \
         "global key multiset changed"
+    if pairs:
+        pin, pout = jax.jit(
+            jax.shard_map(
+                lambda ki, vi, ko, vo: (pair_csum(ki, vi),
+                                        pair_csum(ko, vo)),
+                mesh=mesh, in_specs=(spec,) * 4, out_specs=(P(),) * 2,
+                check_vma=False)
+        )(keys, vals, out_keys, out_vals)
+        assert np.asarray(pin).tolist() == np.asarray(pout).tolist(), \
+            "pair (key, value) binding changed"
     print(f"worker {pid}: OK ({len(locs)} shards, n={n})", flush=True)
 
 
@@ -140,8 +156,28 @@ def main() -> int:
         )
         for i in range(args.nprocs)
     ]
-    rc = [p.wait(timeout=600) for p in procs]
-    ok = all(r == 0 for r in rc)
+    # reap with cleanup: if one worker dies, its peers block in gloo
+    # collectives forever — poll so a failure is noticed immediately, then
+    # kill the EXACT child PIDs we spawned (never by pattern) so no orphan
+    # holds the coordinator port for the next run
+    import time
+
+    deadline = time.time() + 600
+    rc = {}
+    try:
+        while len(rc) < len(procs) and time.time() < deadline:
+            for i, p in enumerate(procs):
+                if i not in rc and p.poll() is not None:
+                    rc[i] = p.returncode
+            if any(r != 0 for r in rc.values()):
+                break
+            time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    ok = len(rc) == len(procs) and all(r == 0 for r in rc.values())
     print({"metric": "multiprocess_sim", "nprocs": args.nprocs,
            "devices": args.nprocs * args.devices_per_proc,
            "n": n, "ok": ok})

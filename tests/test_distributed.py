@@ -229,3 +229,21 @@ def test_global_sort_scale_zipf_pairs(mesh, chunks):
     # the value checksum is the full permutation
     np.testing.assert_array_equal(k[gv], gk)
     assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
+
+
+def test_global_sort_planes_single_device():
+    """d == 1 degenerates to the local engine (regression: the planes
+    variant lacked the guard and indexed an empty below[] tie array)."""
+    mesh = jax.make_mesh((1,), ("x",))
+    sorter = gs.make_global_sort_planes(mesh, key_dtype="uint64")
+    rng = np.random.default_rng(7)
+    n = 4096
+    hi = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                     .astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                     .astype(np.uint32))
+    ohi, olo = sorter((hi, lo))
+    g = (np.asarray(ohi).astype(np.uint64) << 32) | np.asarray(olo)
+    w = np.sort((np.asarray(hi).astype(np.uint64) << 32)
+                | np.asarray(lo))
+    np.testing.assert_array_equal(g, w)

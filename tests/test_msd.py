@@ -478,3 +478,23 @@ def test_msd_u16_pass_constant_keys_fallback():
     )
     gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
     np.testing.assert_array_equal(np.asarray(gk), np.zeros(n, np.uint32))
+
+
+def test_skew_tier_pairs_cond_traces():
+    """skew_tier=True with payload operands must keep the lax.cond
+    branches pytree-compatible (regression: the equidepth fallback branch
+    returned key planes only and crashed pairs sorts at trace time)."""
+    rng = np.random.default_rng(11)
+    n = 50_000
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    planes, traits = td.twiddle_in(jnp.asarray(keys))
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (jnp.asarray(vals),), begin_bit=0, end_bit=32,
+        total_bits=32, use_pallas=False, plan_kwargs=dict(SMALL),
+        skew_tier=True, stable=True,
+    )
+    out = td.twiddle_out(sp, traits, descending=False, dtype=keys.dtype)
+    wk, wv = np_sort_oracle(keys, vals)
+    np.testing.assert_array_equal(np.asarray(out), wk)
+    np.testing.assert_array_equal(np.asarray(sv[0]), wv)

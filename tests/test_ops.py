@@ -206,3 +206,12 @@ def test_digit_histogram_pallas_kernel():
         want = np.bincount((x >> shift) & ((1 << bits) - 1),
                            minlength=1 << bits).astype(np.int32)
         np.testing.assert_array_equal(got, want)
+
+
+def test_segmented_sort_rejects_noncovering_offsets():
+    """Boundary-convention offsets must cover [0, n): uncovered elements
+    would wrap/collide in the composite seg_id (regression)."""
+    keys = jnp.arange(1024, dtype=jnp.uint32)[::-1].copy()
+    for bad in ([0, 256, 512], [16, 256, 1024], [0, 700, 600, 1024]):
+        with pytest.raises(ValueError):
+            tseg.segmented_sort(keys, jnp.asarray(np.array(bad)))

@@ -26,3 +26,16 @@ def test_profile_empty():
     p = Profile("empty")
     assert "empty" in p.table()
     assert p.csv().strip() == ""
+
+
+def test_profile_msd_phases_cpu():
+    """Per-phase profiler drives the real engine helpers (regression: the
+    leaf phase once called msd._leaf_sort with a stale argument list and
+    crashed before emitting leaf_ms/collapse_ms)."""
+    from tpusort.utils.profiling import profile_msd_phases
+
+    p = profile_msd_phases(1 << 18, fused_total=False)
+    assert len(p.runs) == 1
+    m = p.runs[0]
+    assert m.metrics["leaf_ms"] > 0 and m.metrics["collapse_ms"] > 0
+    assert len(m.arrays.get("partition_ms", [])) >= 1

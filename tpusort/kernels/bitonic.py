@@ -33,6 +33,73 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _linear_pos(nb: int, rows: int) -> jax.Array:
+    """(nb, rows, 128) int32: element index within each tile."""
+    shape = (nb, rows, LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return row * LANES + lane
+
+
+def _valid_from(
+    counts_ref, q: int, nb: int, rows: int, k: int, n,
+    flat: bool = False,
+):
+    """Per-element validity.
+
+    From the per-tile SMEM counts table (subrun i of ``q`` elements holds
+    ``counts_ref[b, 0, i]`` valid elements as a prefix), or — pass 0, no
+    table — from the global element index vs n.  The counts chain replaces
+    the earlier u8 mask arrays: validity is fully determined by tiny
+    per-run counts, so no per-element bytes ever touch HBM.
+
+    ``flat``: build the mask in the (nb, K) lane layout the gather kernel
+    uses.  ONE definition shared by the partition and leaf kernels so the
+    counts-chain invariant can never drift between them.
+    """
+    if flat:
+        lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+        if counts_ref is not None:
+            n_sub = k // q
+            sub_pos = lin % q
+            valid_rows = []
+            for b in range(nb):
+                thr = jnp.concatenate(
+                    [
+                        jnp.full((1, q), counts_ref[b, 0, i], jnp.int32)
+                        for i in range(n_sub)
+                    ],
+                    axis=1,
+                )
+                valid_rows.append(sub_pos[b : b + 1] < thr)
+            return jnp.concatenate(valid_rows, axis=0)
+        base = pl.program_id(0) * (nb * k)
+        off = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) * k
+        return (base + off + lin) < n
+    if counts_ref is not None:
+        qrows = q // LANES
+        n_sub = k // q
+        shape = (rows, LANES)
+        lin_sub = (
+            jax.lax.broadcasted_iota(jnp.int32, shape, 0) % qrows
+        ) * LANES + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        cols = []
+        for b in range(nb):
+            thr = jnp.concatenate(
+                [
+                    jnp.full((qrows, LANES), counts_ref[b, 0, i], jnp.int32)
+                    for i in range(n_sub)
+                ],
+                axis=0,
+            )
+            cols.append(lin_sub < thr)
+        return jnp.stack(cols, axis=0)
+    pos = _linear_pos(nb, rows)
+    base = pl.program_id(0) * (nb * k)
+    off = jax.lax.broadcasted_iota(jnp.int32, (nb, rows, LANES), 0) * k
+    return (base + off + pos) < n
+
+
 def _bit(shape, bit: int):
     """Int32 (..., ROWS, LANES) array: tile-linear-index bit ``bit``.
 
@@ -299,7 +366,7 @@ def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
         o[...] = a[:, :rows]
 
 
-def _counts_sort_kernel(*refs, n_ops: int, n_sub: int, q: int,
+def _counts_sort_kernel(*refs, n_ops: int, q: int,
                         pad_rows: int, sorted_run: int, num_keys: int):
     """Raw-key leaf sort with validity from a per-tile SMEM counts table
     (subrun i of q elements holds counts[b, 0, i] valid as a prefix):
@@ -309,19 +376,7 @@ def _counts_sort_kernel(*refs, n_ops: int, n_sub: int, q: int,
     outs = refs[n_ops + 1:]
     arrays = [r[...] for r in ins]
     nb, rows, _ = arrays[0].shape
-    qrows = q // LANES
-    lin_sub = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) % qrows
-    ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    valid = jnp.stack(
-        [
-            lin_sub < jnp.concatenate(
-                [jnp.full((qrows, LANES), cref[b, 0, i], jnp.int32)
-                 for i in range(n_sub)], axis=0)
-            for b in range(nb)
-        ],
-        axis=0,
-    )
+    valid = _valid_from(cref, q, nb, rows, rows * LANES, None)
     for i in range(num_keys):
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
 
@@ -388,7 +443,7 @@ def sort_tiles_counts(
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_counts_sort_kernel, n_ops=n_ops, n_sub=n_sub,
+        functools.partial(_counts_sort_kernel, n_ops=n_ops,
                           q=q, pad_rows=pad_rows, sorted_run=sorted_run,
                           num_keys=num_keys),
         out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), o.dtype)
@@ -407,7 +462,7 @@ def sort_tiles_counts(
 
 
 def _counts_sort_collapse_kernel(
-    *refs, n_ops: int, n_sub: int, q: int, pad_rows: int,
+    *refs, n_ops: int, q: int, pad_rows: int,
     sorted_run: int, num_keys: int, nb: int, rows: int,
 ):
     """Fused raw-key leaf sort + dense collapse: after sorting (garbage to
@@ -426,19 +481,7 @@ def _counts_sort_collapse_kernel(
     sem = refs[n_ops + 2 + 3 * n_ops]
 
     arrays = [r[...] for r in ins]
-    qrows = q // LANES
-    lin_sub = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) % qrows
-    ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    valid = jnp.stack(
-        [
-            lin_sub < jnp.concatenate(
-                [jnp.full((qrows, LANES), cref[b, 0, i], jnp.int32)
-                 for i in range(n_sub)], axis=0)
-            for b in range(nb)
-        ],
-        axis=0,
-    )
+    valid = _valid_from(cref, q, nb, rows, rows * LANES, None)
     for i in range(num_keys):
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
 
@@ -537,7 +580,7 @@ def sort_tiles_counts_collapsed(
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _counts_sort_collapse_kernel, n_ops=n_ops, n_sub=n_sub, q=q,
+            _counts_sort_collapse_kernel, n_ops=n_ops, q=q,
             pad_rows=pad_rows, sorted_run=sorted_run, num_keys=num_keys,
             nb=nb, rows=rows,
         ),

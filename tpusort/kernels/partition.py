@@ -39,7 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusort.kernels.bitonic import LANES, _merge_sorted_runs, _sort_network
+from tpusort.kernels.bitonic import (
+    LANES, _linear_pos, _merge_sorted_runs, _sort_network, _valid_from,
+)
 
 
 
@@ -56,73 +58,6 @@ def _dynamic_run_slice(scratch_ref, start, srows: int) -> jax.Array:
     lane = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 1)
     take_same_row = lane < (128 - l0)
     return jnp.where(take_same_row, rolled[:srows], rolled[1 : srows + 1])
-
-
-def _linear_pos(nb: int, rows: int) -> jax.Array:
-    """(nb, rows, 128) int32: element index within each tile."""
-    shape = (nb, rows, LANES)
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    return row * LANES + lane
-
-
-def _valid_from(
-    counts_ref, q: int, nb: int, rows: int, k: int, n: Optional[int],
-    flat: bool = False,
-):
-    """Per-element validity.
-
-    From the per-tile SMEM counts table (subrun i of ``q`` elements holds
-    ``counts_ref[b, 0, i]`` valid elements as a prefix), or — pass 0, no
-    table — from the global element index vs n.  The counts chain replaces
-    the earlier u8 mask arrays: validity is fully determined by tiny
-    per-run counts, so no per-element bytes ever touch HBM.
-
-    ``flat``: build the mask in the (nb, K) lane layout the gather kernel
-    uses (same invariant, different vreg layout — one definition so the
-    two kernels can never drift).
-    """
-    if flat:
-        lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-        if counts_ref is not None:
-            n_sub = k // q
-            sub_pos = lin % q
-            valid_rows = []
-            for b in range(nb):
-                thr = jnp.concatenate(
-                    [
-                        jnp.full((1, q), counts_ref[b, 0, i], jnp.int32)
-                        for i in range(n_sub)
-                    ],
-                    axis=1,
-                )
-                valid_rows.append(sub_pos[b : b + 1] < thr)
-            return jnp.concatenate(valid_rows, axis=0)
-        base = pl.program_id(0) * (nb * k)
-        off = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0) * k
-        return (base + off + lin) < n
-    if counts_ref is not None:
-        qrows = q // LANES
-        n_sub = k // q
-        shape = (rows, LANES)
-        lin_sub = (
-            jax.lax.broadcasted_iota(jnp.int32, shape, 0) % qrows
-        ) * LANES + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        cols = []
-        for b in range(nb):
-            thr = jnp.concatenate(
-                [
-                    jnp.full((qrows, LANES), counts_ref[b, 0, i], jnp.int32)
-                    for i in range(n_sub)
-                ],
-                axis=0,
-            )
-            cols.append(lin_sub < thr)
-        return jnp.stack(cols, axis=0)
-    pos = _linear_pos(nb, rows)
-    base = pl.program_id(0) * (nb * k)
-    off = jax.lax.broadcasted_iota(jnp.int32, (nb, rows, LANES), 0) * k
-    return (base + off + pos) < n
 
 
 def _extract_bits_arrays(
@@ -626,7 +561,7 @@ def partition_pass_fused(
     digit: Optional[jax.Array] = None,
     splitters: Optional[jax.Array] = None,
     splitter_fracs: Optional[jax.Array] = None,
-    batch: int = 4,
+    batch: Optional[int] = None,
     starts_rows: bool = False,
     gather_apply: bool = False,
     interpret: Optional[bool] = None,
@@ -670,7 +605,7 @@ def partition_pass_fused(
         if q_in is None or q_in % LANES or K % q_in:
             raise ValueError(f"bad validity granularity q_in={q_in}")
 
-    nb = batch
+    nb = 4 if batch is None else batch
     while T % nb or (t_seg is not None and t_seg % nb):
         nb //= 2
     nb = max(nb, 1)

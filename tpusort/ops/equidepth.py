@@ -251,6 +251,7 @@ def _run_pipeline(
     plan: "_msd.MsdPlan",
     q: _EqTable,
     interpret: Optional[bool],
+    batch: Optional[int] = None,
 ) -> Tuple[list, jax.Array]:
     """Splitter passes + raw-key leaf + collapse over twiddled plane(s)
     plus payload operands (which ride the raw network — unstable pair
@@ -321,6 +322,7 @@ def _run_pipeline(
             r=spec.r, s=spec.s, lo_bit=spec.lo_bit, width=spec.width,
             sorted_run=sorted_run, t_seg=spec.t_seg, splitters=spl,
             splitter_fracs=frac, unstable=True, interpret=interpret,
+            batch=batch,
         )
         overflow |= jnp.any(counts > spec.s)
         qg = spec.s & -spec.s
@@ -449,7 +451,10 @@ def sort_twiddled_equidepth(
     q = _quantile_table(planes, n,
                         plan.passes[0].r ** len(plan.passes) - 1,
                         sample_log2=sample_log2)
-    out, overflow = _run_pipeline(planes, values, n, plan, q, interpret)
+    out, overflow = _run_pipeline(
+        planes, values, n, plan, q, interpret,
+        batch=(config.pass_batch if config is not None else None),
+    )
     if values:
         # pairs ride the raw network: a valid key equal to the all-ones
         # garbage sentinel could swap payloads with a dropped pad slot

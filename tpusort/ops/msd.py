@@ -769,7 +769,13 @@ def sort_twiddled_msd(
         )
 
     def _fallback(_):
-        if skew_tier:
+        # keys-only guard: with values the equidepth branch would return
+        # nplanes arrays while _ok returns nplanes+nvalues (lax.cond pytree
+        # mismatch if a config forces skew_tier=True for a pairs shape);
+        # pairs get the universal equidepth tier via the HOST-owned chain
+        # (api._sort_host_tiered), which this in-graph branch mirrors only
+        # for the keys-only case
+        if skew_tier and not values:
             from tpusort.ops.equidepth import sort_twiddled_equidepth
 
             sp, _ = sort_twiddled_equidepth(

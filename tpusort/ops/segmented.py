@@ -45,6 +45,11 @@ def sort_batched(
         and k % 128 == 0
         and k <= _MAX_TILE
         and all(jnp.dtype(v.dtype).itemsize == 4 for v in vt)
+        # non-pow2 K pads tiles with the 0xFFFFFFFF sentinel; a real pair
+        # whose twiddled key ties the sentinel could then lose its payload
+        # to a pad slot (keys-only is multiset-exact either way) — same
+        # hazard ops/small.py guards with its (pad and values) delegation
+        and (not vt or (k & (k - 1)) == 0)
     )
     if use_pallas:
         from tpusort.kernels.bitonic import sort_tiles
@@ -54,13 +59,11 @@ def sort_batched(
         sorted_planes = (out[0].reshape(-1),)
         sorted_vals = [o for o in out[1:]]
     else:
-        idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.uint32), (b, k))
         key_ops = [p.reshape(b, k) for p in planes]
-        operands = key_ops + ([idx] if stable else []) + vops
-        res = jax.lax.sort(operands, dimension=1, num_keys=len(key_ops),
-                           is_stable=stable)
+        res = jax.lax.sort(key_ops + vops, dimension=1,
+                           num_keys=len(key_ops), is_stable=stable)
         sorted_planes = tuple(r.reshape(-1) for r in res[: len(key_ops)])
-        sorted_vals = list(res[len(key_ops) + (1 if stable else 0):])
+        sorted_vals = list(res[len(key_ops):])
 
     out_keys = _dtypes.twiddle_out(
         sorted_planes, traits, descending=descending, dtype=keys.dtype
@@ -84,9 +87,24 @@ def segmented_sort(
     """Stable sort within ragged segments.
 
     segment_offsets: (num_segments + 1,) int array of segment boundaries
-    (CUB's begin/end offset convention, device_segmented_radix_sort.cuh).
+    (CUB's begin/end offset convention, device_segmented_radix_sort.cuh),
+    covering [0, n): offsets[0] == 0, offsets[-1] == n, non-decreasing.
+    Uncovered elements have no defined destination in the boundary
+    convention (the composite seg_id would wrap/collide), so non-covering
+    concrete offsets are rejected rather than silently corrupting segments.
     """
     n = keys.shape[0]
+    if not isinstance(segment_offsets, jax.core.Tracer):
+        import numpy as np
+
+        so = np.asarray(segment_offsets)
+        if (so.ndim != 1 or so.shape[0] < 2 or so[0] != 0 or so[-1] != n
+                or np.any(np.diff(so.astype(np.int64)) < 0)):
+            raise ValueError(
+                "segment_offsets must be a non-decreasing (num_segments+1,)"
+                f" array covering [0, {n}) (got first={so.flat[0] if so.size else '?'},"
+                f" last={so.flat[-1] if so.size else '?'})"
+            )
     planes, traits = _dtypes.twiddle_in(keys, descending=descending)
     vt, single = _normalize(values)
 

@@ -279,14 +279,21 @@ def _global_sort_shard(
     # overflow that forced its fallback on every call.
     from tpusort.kernels.collapse import collapse_segments
 
-    seg_counts = jnp.minimum(recv_counts, jnp.int32(capacity))
-    compacted = collapse_segments(
-        [x.reshape(d, capacity) for x in recv], seg_counts, n_shard
-    )
-    sp2, sv2 = _local_engine_sort(
-        compacted[:nplanes], compacted[nplanes:], 32 * nplanes
-    )
-    owned = list(sp2) + list(sv2)
+    def finish(_):
+        # collapse + engine sort live INSIDE the cond so the overflow path
+        # does not pay for the main pipeline's expensive tail on top of
+        # the allgather fallback (the shuffle above already happened; only
+        # its bytes are sunk).  ``overflow`` is pmax-uniform across the
+        # axis, so branch divergence cannot deadlock the fallback's
+        # all_gather.
+        seg_counts = jnp.minimum(recv_counts, jnp.int32(capacity))
+        compacted = collapse_segments(
+            [x.reshape(d, capacity) for x in recv], seg_counts, n_shard
+        )
+        sp2, sv2 = _local_engine_sort(
+            compacted[:nplanes], compacted[nplanes:], 32 * nplanes
+        )
+        return list(sp2) + list(sv2)
 
     def fallback(_):
         # allgather everything, sort locally, take the owned range
@@ -297,7 +304,7 @@ def _global_sort_shard(
             for x in srt
         ]
 
-    return jax.lax.cond(overflow, fallback, lambda _: owned, None)
+    return jax.lax.cond(overflow, fallback, finish, None)
 
 
 def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
@@ -435,6 +442,16 @@ def make_global_sort_planes(
         n = planes[0].shape[0]
         if n % d:
             raise ValueError(f"n={n} must be divisible by mesh size {d}")
+        if d == 1:
+            # single device: degenerate (same guard as make_global_sort —
+            # with nb = d-1 = 0 the tie-rank gather would index an empty
+            # below[] array)
+            from tpusort.api import sort_planes as _local_sort_planes
+
+            return _local_sort_planes(
+                planes, values, key_dtype=key_dtype, descending=descending,
+                stable=False,
+            )
         n_shard = n // d
         capacity = _capacity_for(n_shard, d, capacity_factor, chunks)
         tw = _dtypes.twiddle_planes_in(planes, traits, descending=descending)

@@ -132,10 +132,25 @@ def verify_pairs(orig_keys: np.ndarray, out_keys: np.ndarray,
     out_vals = np.ascontiguousarray(out_vals, np.uint32)
     lib = _load()
     if lib is None:
+        # match ts_verify_pairs_u32 exactly: index i fails if out_vals[i]
+        # is out of [0, n), already used, or gathers the wrong key.  No
+        # unchecked fancy indexing (an out-of-range value must REPORT, not
+        # IndexError).
         n = orig_keys.size
-        if np.unique(out_vals).size != n:
-            return 0
-        ok = orig_keys[out_vals] == out_keys
+        in_range = out_vals < n
+        ok = in_range.copy()
+        ok[in_range] = orig_keys[out_vals[in_range]] == out_keys[in_range]
+        if not (in_range.all()
+                and np.bincount(out_vals[in_range], minlength=n).max(
+                    initial=0) <= 1):
+            # exact first-failure semantics need the sequential scan
+            seen = np.zeros(n, dtype=bool)
+            for i, v in enumerate(out_vals):
+                if v >= n or seen[v]:
+                    return int(i)
+                seen[v] = True
+                if not ok[i]:
+                    return int(i)
         bad = np.nonzero(~ok)[0]
         return -1 if bad.size == 0 else int(bad[0])
     return int(

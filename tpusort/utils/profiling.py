@@ -150,7 +150,7 @@ def _summaries(p: Profile, cols: List[str]) -> List[List[str]]:
 
 
 def profile_msd_phases(n: int, *, dtype="uint32", pairs: bool = False,
-                       seed: int = 0) -> Profile:
+                       seed: int = 0, fused_total: bool = True) -> Profile:
     """Time each MSD engine phase separately on the current backend:
     histogram, partition kernel, exchange transpose per pass; leaf; collapse.
 
@@ -193,7 +193,9 @@ def profile_msd_phases(n: int, *, dtype="uint32", pairs: bool = False,
             ops = list(ops)
             s_prev = spec.s
         leaf = jax.jit(lambda o, rc: msd._leaf_sort(
-            list(o), slice(0, traits.planes), rc, s_prev, plan, use_pallas))
+            list(o), slice(0, traits.planes),
+            msd._valid_mask(rc, s_prev, plan.n_segments, plan.seg),
+            plan, use_pallas))
         dt = timing.measure(leaf, tuple(ops), run_counts)
         r.set_metric("leaf_ms", dt * 1e3)
         ops, seg_counts = leaf(tuple(ops), run_counts)
@@ -207,9 +209,13 @@ def profile_msd_phases(n: int, *, dtype="uint32", pairs: bool = False,
                 list(o), sc, plan.seg, n))
         dt = timing.measure(coll, tuple(ops), seg_counts)
         r.set_metric("collapse_ms", dt * 1e3)
-        total = jax.jit(
-            lambda k: __import__("tpusort").sort(k, algorithm="msd"))
-        dt = timing.measure(total, keys)
-        r.set_metric("fused_total_ms", dt * 1e3)
-        r.set_metric("keys_per_s", n / dt)
+        if fused_total:
+            # end-to-end production path for the per-phase upper-bound
+            # comparison; skippable on CPU where the interpret-mode engine
+            # at profiling sizes is impractically slow
+            total = jax.jit(
+                lambda k: __import__("tpusort").sort(k, algorithm="msd"))
+            dt = timing.measure(total, keys)
+            r.set_metric("fused_total_ms", dt * 1e3)
+            r.set_metric("keys_per_s", n / dt)
     return prof
