@@ -149,14 +149,21 @@ def main():
         # generated in-graph so the pipeline's pass buffers are the only
         # big live set.
         from tpusort import dtypes as _td
+        from tpusort.configs import get_config as _get_config
         from tpusort.ops.msd import sort_twiddled_msd as _msd_sort
+
+        # thread the registered tuning config through: without it the
+        # --gather/--u16 overrides installed above would be silently
+        # ignored on this path (the engine gates those variants on
+        # config.use_*), making the A/B arms identical
+        _cfg = _get_config(32, False)
 
         def fn(seed):
             k = _hash_keys(seed)
             planes, traits = _td.twiddle_in(k)
             sp, _, ovf = _msd_sort(
                 planes, (), begin_bit=0, end_bit=32, total_bits=32,
-                on_overflow="flag",
+                on_overflow="flag", config=_cfg,
             )
             return _td.twiddle_out(sp, traits, dtype=k.dtype), ovf
 

@@ -62,7 +62,10 @@ def _gen_planes(n: int, entropy, seed: int = 0):
     return hi, lo
 
 
-def verify_u32(keys, got) -> bool:
+def verify_keys(keys, got) -> bool:
+    """Bit-pattern comparison vs the reference engine — exact for every
+    dtype incl. float32 NaNs (array_equal on float values would reject a
+    correct sort: NaN != NaN, and entropy-AND bit patterns produce them)."""
     want = jax.jit(lambda k: tpusort.sort(k, algorithm="reference"))(keys)
     return bool(jnp.array_equal(got.view(jnp.uint32), want.view(jnp.uint32)))
 
@@ -74,16 +77,21 @@ def verify_planes(hi, lo, ghi, glo) -> bool:
 
 
 def verify_pairs(keys, gk, gv) -> bool:
-    """Unstable pair semantics: permutation check (test_sort_pairs.cu)."""
+    """Unstable pair semantics (test_sort_pairs.cu): output keys sorted,
+    values a permutation of the enumeration, and every (key, value) pair
+    bound to its origin."""
     n = keys.shape[0]
     ks = np.asarray(keys)
     gk, gv = np.asarray(gk), np.asarray(gv)
-    if int(gv.astype(np.uint64).sum()) != n * (n - 1) // 2:
+    if not np.all(np.diff(gk.astype(np.int64)) >= 0):
+        return False
+    if gv.max(initial=0) >= n or np.unique(gv).size != n:
         return False
     return bool(np.array_equal(ks[gv], gk))
 
 
 def main():
+    timing.honor_explicit_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("-k", "--num-keys", type=int, default=1 << 24)
     ap.add_argument("-r", "--repeats", type=int, default=1)
@@ -103,9 +111,11 @@ def main():
     n = args.num_keys
     prof = Profile(f"entropy_matrix_{args.algorithm}")
 
-    rows = [("pairs", None)] if args.pairs else [
-        (t, None) for t in args.types
-    ]
+    # --pairs ADDS the pairs row set to the type rows (as the help text
+    # says); --types pairs alone runs just the pairs rows
+    rows = [(t, None) for t in args.types if t != "pairs"]
+    if args.pairs or "pairs" in args.types:
+        rows.append(("pairs", None))
     for dtype, _ in rows:
         for entropy in args.entropies:
             if dtype == "uint64":
@@ -114,7 +124,8 @@ def main():
                     (h, l), key_dtype="uint64", algorithm=args.algorithm)
                 with prof.run(dtype=dtype, entropy=entropy,
                               num_keys=n) as r:
-                    dt = timing.measure(fn, hi, lo, iters=args.repeats)
+                    dt = timing.measure_eager(fn, hi, lo,
+                                              iters=args.repeats)
                     r.set_metric("sort_ms", dt * 1e3)
                     r.set_metric("mkeys_per_s", n / dt / 1e6)
                     if not args.no_verify:
@@ -128,7 +139,8 @@ def main():
                     k, v, algorithm=args.algorithm, stable=args.stable)
                 with prof.run(dtype="u32pairs", entropy=entropy,
                               num_keys=n) as r:
-                    dt = timing.measure(fn, keys, vals, iters=args.repeats)
+                    dt = timing.measure_eager(fn, keys, vals,
+                                              iters=args.repeats)
                     r.set_metric("sort_ms", dt * 1e3)
                     r.set_metric("mpairs_per_s", n / dt / 1e6)
                     if not args.no_verify:
@@ -152,14 +164,12 @@ def main():
                 fn = lambda k: tpusort.sort(k, algorithm=args.algorithm)
                 with prof.run(dtype=dtype, entropy=entropy,
                               num_keys=n) as r:
-                    dt = timing.measure(fn, keys, iters=args.repeats)
+                    dt = timing.measure_eager(fn, keys,
+                                              iters=args.repeats)
                     r.set_metric("sort_ms", dt * 1e3)
                     r.set_metric("mkeys_per_s", n / dt / 1e6)
                     if not args.no_verify:
-                        r.set_metric("verified", verify_u32(keys, fn(keys))
-                                     if dtype == "uint32" else bool(
-                                         jnp.array_equal(
-                                             jnp.sort(keys), fn(keys))))
+                        r.set_metric("verified", verify_keys(keys, fn(keys)))
 
     print(prof.table())
     if args.csv:

@@ -63,7 +63,8 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
     lanes 2x, a compact (digit|idx) u16 sortkey halves the per-stage cost
     and a gather-apply keys path opens below the u32 network floor."""
     n = 1 << log2n
-    T = n // k
+    T = _scaled(n // k)
+    n = T * k
     rows = k // LANES
     dt_map = {"u32": jnp.uint32, "u16": jnp.uint16, "s16": jnp.int16}
     dt_el = dt_map[dtype_name]
@@ -90,7 +91,7 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
     if merge_from:
         xs = x.reshape(T, -1, merge_from)
         x = jax.lax.sort(xs, dimension=2).reshape(T, rows, LANES)
-    dt = timing.measure(f, x, iters=3)
+    dt = _measure(f, x)
     lgk = k.bit_length() - 1
     if merge_from:
         k0 = merge_from.bit_length() - 1
@@ -112,7 +113,8 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
     if not s:
         s = ((3 * k // (2 * r)) // 128) * 128
     width = r.bit_length() - 1
-    T = n // k
+    T = _scaled(n // k)
+    n = T * k
     keys = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
 
     def fn(keys):
@@ -122,7 +124,7 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
         )
         return data[0], counts
 
-    dt = timing.measure(fn, keys, iters=3)
+    dt = _measure(fn, keys)
     _report(f"pass_full k={k} r={r} s={s} rows={starts_rows}", dt, n)
 
 
@@ -266,7 +268,7 @@ def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
     (today's) vs row-hierarchical (row-last vector + one-row residual)."""
     k = 1 << 14
     rows = k // LANES
-    T = 512
+    T = _scaled(512)
     nb = 4
     width = r.bit_length() - 1
 
@@ -300,7 +302,7 @@ def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
                                memory_space=pltpu.SMEM),
     )
     x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
-    dt = timing.measure(f, x, iters=3)
+    dt = _measure(f, x)
     per_pass = dt / iters_in_kernel
     _report(f"starts[{variant}] r={r} (per pass-equivalent)", per_pass,
             T * k)
@@ -337,7 +339,7 @@ def probe_matmul(dtype_name: str):
     )
     a = jnp.ones((m, k), dt_in)
     b = jnp.ones((k, n2), dt_in)
-    dt = timing.measure(f, a, b, iters=3)
+    dt = _measure(f, a, b)
     macs = G * reps * m * k * n2
     print(f"matmul {dtype_name}: {dt*1e3:.3f} ms -> "
           f"{macs/dt/1e12:.2f} T MAC/s")
@@ -534,6 +536,11 @@ def probe_dynstore(w_rows: int = 2, check: bool = False):
         for b in range(nb):
             x = x_ref[b]
             o_ref[b, : rows] = x                 # baseline fill
+            # pad rows [rows, rows+w_rows) are only partially reachable by
+            # the dynamic stores (off <= rows-1 covers at most row
+            # rows+w_rows-2) — fill them deterministically so --check never
+            # compares uninitialized VMEM against the zero-filled reference
+            o_ref[b, rows:, :] = x[:w_rows]
             for i in range(nwin):
                 off = off_ref[b, 0, i]
                 win = x[i * 2 : i * 2 + w_rows, :]
@@ -562,6 +569,7 @@ def probe_dynstore(w_rows: int = 2, check: bool = False):
         got = np.asarray(f(x, o))[0]
         ref = np.zeros((rows + w_rows, LANES), np.uint32)
         ref[:rows] = np.asarray(x)[0]
+        ref[rows:] = np.asarray(x)[0][:w_rows]
         for i in range(nwin):
             ref[offs[0, 0, i] : offs[0, 0, i] + w_rows] = np.asarray(
                 x)[0][i * 2 : i * 2 + w_rows]
@@ -606,7 +614,7 @@ def probe_gather_wide():
 
 def probe_gather():
     """Does Mosaic lower take_along_axis on sublanes / lanes at all?"""
-    rows, T, reps = 128, 64, 4
+    rows, T, reps = 128, _scaled(64), 4
 
     for axis in (1, 2):
         hi = rows if axis == 1 else LANES
@@ -635,7 +643,7 @@ def probe_gather():
             for _ in range(reps):
                 ref = jnp.take_along_axis(ref, idx, axis=axis)
             ok = np.array_equal(got, np.asarray(ref))
-            dt = timing.measure(f, x, idx, iters=3)
+            dt = _measure(f, x, idx)
             _report(f"gather axis={axis} ok={ok}", dt,
                     T * rows * LANES * reps)
         except Exception as e:

@@ -80,9 +80,13 @@ def predict_radix_overflow(
         counts = np.bincount(pref, minlength=nbuckets)
         # debias the max bucket by the expected max-order-statistic excess
         # of a uniform multinomial (~sqrt(2 ln B * mean)) so sampling noise
-        # at deep levels doesn't flag uniform inputs
+        # at deep levels doesn't flag uniform inputs.  The excess uses the
+        # UNIFORM MEAN m/B, not cmax itself — debiasing by the observed max
+        # would scale the correction with the very skew being detected and
+        # eat ~sqrt(cmax/mean) x too much of a heavy bucket's mass
+        mean = m / nbuckets
         cmax = float(counts.max())
-        cmax -= np.sqrt(2.0 * np.log(nbuckets) * max(cmax, 1.0))
+        cmax -= np.sqrt(2.0 * np.log(nbuckets) * max(mean, 1.0))
         # run (tile, digit) at this pass holds the elements of one full
         # cumw-bit prefix, split across the segment's t_seg tiles
         exp_max = n * (cmax / m) / max(spec.t_seg, 1)

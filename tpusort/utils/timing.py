@@ -83,3 +83,28 @@ def measure(
     if subtract_overhead:
         dt = max(dt - measure_overhead(), 1e-9)
     return dt
+
+
+def measure_eager(
+    fn: Callable, *args, iters: int = 3, warmup: int = 1,
+    subtract_overhead: bool = True,
+) -> float:
+    """Best-of-iters wall time of EAGER ``fn(*args)`` in seconds.
+
+    No jit wrapper: host-owned control flow (the public API's tier chain,
+    sample pre-classifier, flag-mode re-dispatch) executes for real — a
+    traced call would see Tracers, fail ``_host_tiered_applicable``, and
+    silently time the in-graph lax.cond path instead.  Inner jitted impls
+    are compile-cached by the warmup calls."""
+    sync(fn(*args))
+    for _ in range(warmup):
+        sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    if subtract_overhead:
+        dt = max(dt - measure_overhead(), 1e-9)
+    return dt
