@@ -26,6 +26,7 @@ from tpusort.utils import timing
 
 
 def main():
+    timing.honor_explicit_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 28)
     ap.add_argument("--t", type=int, default=3)
@@ -36,14 +37,14 @@ def main():
     keys = jax.random.uniform(jax.random.key(0), (args.n,), dtype=jnp.float32)
     vals = jax.random.bits(jax.random.key(1), (args.n,), dtype=jnp.uint32)
 
-    kv = jax.jit(lambda k, v: tpusort.sort_pairs(k, v,
-                                                 algorithm=args.algorithm))
-    kd = jax.jit(
-        lambda k: tpusort.sort_keys_descending(k, algorithm=args.algorithm)
-    )
+    # EAGER calls: a jit wrapper would bypass the host-owned tier chain
+    # (Tracers fail _host_tiered_applicable) and above 2^29 would silently
+    # time the in-graph reference path instead of the engine
+    kv = lambda k, v: tpusort.sort_pairs(k, v, algorithm=args.algorithm)
+    kd = lambda k: tpusort.sort_keys_descending(k, algorithm=args.algorithm)
 
-    t_kv = timing.measure(kv, keys, vals, iters=args.t) * 1e3
-    t_k = timing.measure(kd, keys, iters=args.t) * 1e3
+    t_kv = timing.measure_eager(kv, keys, vals, iters=args.t) * 1e3
+    t_k = timing.measure_eager(kd, keys, iters=args.t) * 1e3
 
     if args.v:
         out = kd(keys)

@@ -25,7 +25,10 @@ def run_eq(keys):
     plan = equidepth._widen_last(plan, n, m_sample, leaf_max)
     p = len(plan.passes); r = plan.passes[0].r
     t0 = time.time()
-    q = equidepth._quantile_table(planes[0], n, r**p - 1)
+    # planes (a sequence) since the multi-plane refactor, matching the
+    # engine's own call (equidepth.py sort_twiddled_equidepth)
+    q = equidepth._quantile_table(planes, n, r**p - 1,
+                                  sample_log2=sample_log2)
     jax.block_until_ready(q.q); print("  qtable", round(time.time()-t0, 1), flush=True)
     k0 = plan.passes[0].k
     t1 = plan.m1 // k0

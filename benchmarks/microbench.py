@@ -65,6 +65,9 @@ def timeit(name, fn, *args, iters=5, warmup=2, bytes_moved=None, elems=None):
 
 
 def main():
+    from tpusort.utils import timing as _timing
+
+    _timing.honor_explicit_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()

@@ -14,7 +14,9 @@ import numpy as np
 
 from tpusort.ops import msd
 from tpusort.kernels.partition import partition_pass_fused
-from tpusort.kernels.bitonic import sort_tiles_counts
+from tpusort.kernels.bitonic import (
+    sort_tiles_counts, sort_tiles_counts_collapsed,
+)
 from tpusort.kernels.collapse import collapse_segments
 
 N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 28)
@@ -80,8 +82,9 @@ for i, spec in enumerate(plan.passes):
     prev_s[0] = spec.s
     q_hold[0] = spec.s & -spec.s
 
+# pack cap mirrors the engine's (msd.py raw-key leaf: 1 << 15)
 pack = 1
-while pack * 2 * plan.seg <= (1 << 14) and plan.n_segments % (pack * 2) == 0:
+while pack * 2 * plan.seg <= (1 << 15) and plan.n_segments % (pack * 2) == 0:
     pack *= 2
 nt = plan.n_segments // pack
 tile = pack * plan.seg
@@ -97,9 +100,27 @@ def leaf_fn(ops_, ct_):
     return s, ct.sum(axis=1, dtype=jnp.int32)
 
 
-f = bench(f"leaf raw-key (m={state[0][0].shape[0]>>20}M)",
+# production path: the engine runs the FUSED leaf+collapse kernel
+# (msd.py sort_tiles_counts_collapsed); the separate rows below attribute
+# its cost between the sort and the collapse write discipline
+
+
+def leaf_fused_fn(ops_, ct_):
+    last_s = plan.passes[-1].s
+    q = last_s & -last_s
+    ct = ct_.reshape(nt, tile // q)
+    return sort_tiles_counts_collapsed(
+        [ops_[0].reshape(nt, tile)], ct, q, N,
+        sorted_run=(last_s & -last_s), num_keys=1)
+
+
+bench(f"leaf+collapse fused (production, m={state[0][0].shape[0]>>20}M)",
+      leaf_fused_fn, state[0], state[1])
+
+f = bench(f"leaf raw-key separate (m={state[0][0].shape[0]>>20}M)",
           leaf_fn, state[0], state[1])
 sorted_p, tile_counts = f(state[0], state[1])
 
-bench("collapse", lambda s, c: collapse_segments([s.reshape(nt, tile)], c, N),
+bench("collapse separate",
+      lambda s, c: collapse_segments([s.reshape(nt, tile)], c, N),
       sorted_p, tile_counts)

@@ -59,6 +59,11 @@ def main():
         inner = inner[(inner > 0) & (inner < n)]
         boundary[inner - 1] = True
         ok = bool(np.all((d >= 0) | boundary))
+        # sortedness alone passes degenerate outputs — the multiset must
+        # survive too (same check distributed_bench grew)
+        ok = ok and bool(np.array_equal(np.sort(out),
+                                        np.sort(np.asarray(keys)
+                                                .astype(np.int64))))
         mode = "ragged"
     else:
         b = n // args.seg
@@ -66,6 +71,9 @@ def main():
         dt = timing.measure(fn, keys, iters=args.iters)
         out = np.asarray(jax.jit(fn)(keys)).astype(np.int64)
         ok = bool(np.all(np.diff(out, axis=1) >= 0))
+        ok = ok and bool(np.array_equal(np.sort(out.ravel()),
+                                        np.sort(np.asarray(keys)
+                                                .astype(np.int64))))
         mode = "uniform"
 
     print(json.dumps({

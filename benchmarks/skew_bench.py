@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,25 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tpusort
-
-
-@jax.jit
-def _probe(o):
-    return jax.tree.leaves(o)[0].ravel()[:8]
-
-
-def _sync(out):
-    return np.asarray(_probe(out))
-
-
-def _time(fn, *args, iters=3):
-    _sync(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+from tpusort.utils import timing
 
 
 def _planes_from_u64(arr: np.ndarray):
@@ -50,6 +31,7 @@ def _planes_from_u64(arr: np.ndarray):
 
 
 def main():
+    timing.honor_explicit_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--alpha", type=float, default=1.1)
@@ -58,10 +40,11 @@ def main():
     args = ap.parse_args()
     n = 1 << args.log2n
 
-    overhead = _time(jax.jit(lambda a: a),
-                     jnp.zeros((8,), jnp.uint32), iters=args.iters)
-    fn = jax.jit(lambda h, l: tpusort.sort_planes(
-        (h, l), key_dtype="uint64", algorithm=args.algorithm))
+    # EAGER call: a jit wrapper would turn the host-owned tier chain into
+    # the in-graph path, whose u64 overflow fallback is the exact reference
+    # sort — the zipf row would time (and verify) the wrong engine
+    fn = lambda h, l: tpusort.sort_planes(
+        (h, l), key_dtype="uint64", algorithm=args.algorithm)
 
     results = {}
     rng = np.random.default_rng(0)
@@ -71,7 +54,7 @@ def main():
 
     for name, arr in [("uniform_u64", uniform), ("zipf_u64", zipf)]:
         hi, lo = _planes_from_u64(arr)
-        dt = _time(fn, hi, lo, iters=args.iters) - overhead
+        dt = timing.measure_eager(fn, hi, lo, iters=args.iters)
         # verify on host
         ohi, olo = fn(hi, lo)
         got = (np.asarray(ohi).astype(np.uint64) << np.uint64(32)) | \

@@ -45,8 +45,9 @@ def np_sort_oracle(
     bits = t.dtype.itemsize * 8
     eb = bits if end_bit is None else end_bit
     if begin_bit != 0 or eb != bits:
-        one = np.uint64(1)
-        mask = ((one << np.uint64(eb)) - one) & ~((one << np.uint64(begin_bit)) - one)
+        # Python ints: np.uint64(1) << 64 (eb == bits == 64 with a nonzero
+        # begin_bit) is a shift >= width — undefined in numpy
+        mask = (((1 << eb) - 1) & ~((1 << begin_bit) - 1)) & ((1 << bits) - 1)
         t = t & t.dtype.type(mask)
     if descending:
         t = ~t
