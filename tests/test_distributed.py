@@ -231,6 +231,40 @@ def test_global_sort_scale_zipf_pairs(mesh, chunks):
     assert int(gv.astype(np.uint64).sum()) == n * (n - 1) // 2
 
 
+def test_global_sort_adaptive_capacity(mesh):
+    """Host-owned adaptive capacity tier: a pre-sorted input makes every
+    (src==dst) bucket count n_shard — guaranteed overflow at a small
+    capacity_factor.  Every call must stay exact (in-graph allgather
+    fallback), and repeated calls must double the geometry's factor until
+    capacity saturates at n_shard, where overflow is impossible."""
+    n = 1 << 13
+    d = 8
+    n_shard = n // d
+    keys = jnp.arange(n, dtype=jnp.uint32)
+    want = np.arange(n, dtype=np.uint32)
+    sorter = gs.make_global_sort(mesh, capacity_factor=1.0, adaptive=True)
+    caps = []
+    for _ in range(5):
+        np.testing.assert_array_equal(np.asarray(sorter(keys)), want)
+        caps.append(max(g[-1] for g in sorter._shard_fns))
+    # strictly growing capacities until saturation, then stable
+    assert caps[-1] == n_shard, caps
+    assert all(b >= a for a, b in zip(caps, caps[1:])), caps
+    assert caps[0] < caps[-1], caps
+    # saturated: no further growth, no recompile churn
+    n_fns = len(sorter._shard_fns)
+    np.testing.assert_array_equal(np.asarray(sorter(keys)), want)
+    assert len(sorter._shard_fns) == n_fns
+    # planes variant: same tier (one overflowing call bumps the factor)
+    ps = gs.make_global_sort_planes(mesh, key_dtype="uint64",
+                                    capacity_factor=1.0, adaptive=True)
+    hi = jnp.zeros((n,), jnp.uint32)
+    (ohi, olo) = ps((hi, keys))
+    np.testing.assert_array_equal(np.asarray(olo), want)
+    assert np.asarray(ohi).sum() == 0
+    assert ps._factors, "overflowing planes call must adapt the factor"
+
+
 def test_global_sort_planes_single_device():
     """d == 1 degenerates to the local engine (regression: the planes
     variant lacked the guard and indexed an empty below[] tie array)."""

@@ -24,7 +24,10 @@ TPU-native design decisions (static shapes, XLA collectives over ICI):
   ring can replace the collective without changing the dataflow).  Pair
   counts above C (pathologically pre-ordered inputs with small capacity)
   are detected and the sort falls back to an allgather + local sort via
-  ``lax.cond``.
+  ``lax.cond``; with ``adaptive=True`` the overflow flag is also synced
+  host-side and the geometry's capacity factor doubles for subsequent
+  calls (the distributed analog of the single-chip host-owned
+  ``on_overflow="flag"`` tier chain).
 * **Engine-finished shards.** The post-shuffle finish runs the single-chip
   msd engine (raw-key networks), not ``lax.sort``: keys-only garbage is
   rewritten to the all-ones sentinel (multiset-exact); pairs ride a
@@ -214,6 +217,7 @@ def _global_sort_shard(
     axis: str,
     capacity: int,
     chunks: int,
+    return_overflow: bool = False,
 ):
     """Per-shard body (runs under shard_map). ops = planes + values, u32."""
     planes = list(ops[:nplanes])
@@ -304,11 +308,16 @@ def _global_sort_shard(
             for x in srt
         ]
 
-    return jax.lax.cond(overflow, fallback, finish, None)
+    out = jax.lax.cond(overflow, fallback, finish, None)
+    if return_overflow:
+        # pmax above makes the flag axis-uniform, so it satisfies a
+        # replicated out_spec (the adaptive tier syncs it host-side)
+        return out + [overflow]
+    return out
 
 
 def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
-                       capacity, chunks):
+                       capacity, chunks, return_overflow=False):
     spec = P(axis_name)
     body = functools.partial(
         _global_sort_shard,
@@ -318,14 +327,18 @@ def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
         axis=axis_name,
         capacity=capacity,
         chunks=chunks,
+        return_overflow=return_overflow,
     )
     n_ops = nplanes + n_values
+    out_specs = tuple(spec for _ in range(n_ops))
+    if return_overflow:
+        out_specs = out_specs + (P(),)
     return jax.jit(
         jax.shard_map(
             lambda *o: tuple(body(o)),
             mesh=mesh,
             in_specs=tuple(spec for _ in range(n_ops)),
-            out_specs=tuple(spec for _ in range(n_ops)),
+            out_specs=out_specs,
             check_vma=False,
         )
     )
@@ -349,6 +362,7 @@ def make_global_sort(
     axis_name: Optional[str] = None,
     capacity_factor: float = 4.0,
     chunks: int = 1,
+    adaptive: bool = False,
 ):
     """Build a jitted distributed sorter over a 1-D mesh axis.
 
@@ -356,11 +370,22 @@ def make_global_sort(
     along the axis; output is the globally sorted array with the same
     sharding.  ``chunks`` splits the all-to-all into that many independent
     pieces along the capacity axis (overlappable transfers).
+
+    ``adaptive=True`` is the host-owned capacity tier (the distributed
+    analog of the single-chip ``on_overflow="flag"`` chain): after each
+    call the overflow flag is synced to the host, and a geometry that
+    overflowed doubles its ``capacity_factor`` for SUBSEQUENT calls
+    (recompiling once) until the capacity saturates at n/D, where
+    overflow is impossible.  The overflowed call itself is still exact
+    (in-graph allgather fallback) — adaptation removes the fallback from
+    steady-state repeated calls, at the price of one host sync per call.
+    Leave off inside fully-pipelined training steps.
     """
     if axis_name is None:
         axis_name = mesh.axis_names[0]
     d = mesh.shape[axis_name]
     shard_fns = {}   # geometry -> jitted shard body (persist across calls)
+    factors = {}     # base geometry -> adapted capacity_factor
 
     def sorter(keys, values=None, *, descending: bool = False):
         n = keys.shape[0]
@@ -374,7 +399,6 @@ def make_global_sort(
             return _local_sort(keys, values, descending=descending,
                                stable=False)
         n_shard = n // d
-        capacity = _capacity_for(n_shard, d, capacity_factor, chunks)
         planes, traits = _dtypes.twiddle_in(keys, descending=descending)
         vt = (
             ()
@@ -385,7 +409,10 @@ def make_global_sort(
         vops = [jnp.asarray(v).view(jnp.uint32) for v in vt]
         ops = list(planes) + vops
 
-        geom = (len(planes), len(vops), n_shard, capacity)
+        base = (len(planes), len(vops), n_shard)
+        factor = factors.get(base, capacity_factor)
+        capacity = _capacity_for(n_shard, d, factor, chunks)
+        geom = base + (capacity,)
         shard_fn = shard_fns.get(geom)
         if shard_fn is None:
             # build the jitted shard body once per geometry: a fresh
@@ -393,9 +420,13 @@ def make_global_sort(
             # whole distributed program every sort
             shard_fn = shard_fns[geom] = _make_sharded_body(
                 mesh, axis_name, len(planes), len(vops), n_shard, d,
-                capacity, chunks,
+                capacity, chunks, return_overflow=adaptive,
             )
         out = shard_fn(*ops)
+        if adaptive:
+            out, ovf = list(out[:-1]), out[-1]
+            if capacity < n_shard and bool(np.asarray(ovf)):
+                factors[base] = factor * 2.0
         out_planes = tuple(out[: len(planes)])
         out_keys = _dtypes.twiddle_out(
             out_planes, traits, descending=descending, dtype=keys.dtype
@@ -409,6 +440,8 @@ def make_global_sort(
             return out_keys, out_vals
         return out_keys, out_vals[0]
 
+    sorter._factors = factors      # introspection (tests/adaptive tier)
+    sorter._shard_fns = shard_fns
     return sorter
 
 
@@ -419,18 +452,21 @@ def make_global_sort_planes(
     axis_name: Optional[str] = None,
     capacity_factor: float = 4.0,
     chunks: int = 1,
+    adaptive: bool = False,
 ):
     """Distributed sorter for keys supplied as raw uint32 bit-pattern
     planes (plane 0 = most-significant word) — the TPU-native 64-bit
     interface (this backend cannot materialize 64-bit arrays; see
     ``tpusort.sort_planes``).
 
-    Returns fn(planes[, values]) -> sorted planes (and values)."""
+    Returns fn(planes[, values]) -> sorted planes (and values).
+    ``adaptive`` as in :func:`make_global_sort`."""
     if axis_name is None:
         axis_name = mesh.axis_names[0]
     d = mesh.shape[axis_name]
     traits = _dtypes.traits_for(key_dtype)
     shard_fns = {}   # geometry -> jitted shard body (persist across calls)
+    factors = {}     # base geometry -> adapted capacity_factor
 
     def sorter(planes, values=None, *, descending: bool = False):
         planes = tuple(jnp.asarray(p).view(jnp.uint32) for p in planes)
@@ -453,7 +489,6 @@ def make_global_sort_planes(
                 stable=False,
             )
         n_shard = n // d
-        capacity = _capacity_for(n_shard, d, capacity_factor, chunks)
         tw = _dtypes.twiddle_planes_in(planes, traits, descending=descending)
         vt = (
             ()
@@ -463,14 +498,21 @@ def make_global_sort_planes(
         )
         vops = [jnp.asarray(v).view(jnp.uint32) for v in vt]
         ops = list(tw) + vops
-        geom = (len(tw), len(vops), n_shard, capacity)
+        base = (len(tw), len(vops), n_shard)
+        factor = factors.get(base, capacity_factor)
+        capacity = _capacity_for(n_shard, d, factor, chunks)
+        geom = base + (capacity,)
         shard_fn = shard_fns.get(geom)
         if shard_fn is None:
             shard_fn = shard_fns[geom] = _make_sharded_body(
                 mesh, axis_name, len(tw), len(vops), n_shard, d, capacity,
-                chunks,
+                chunks, return_overflow=adaptive,
             )
         out = shard_fn(*ops)
+        if adaptive:
+            out, ovf = list(out[:-1]), out[-1]
+            if capacity < n_shard and bool(np.asarray(ovf)):
+                factors[base] = factor * 2.0
         out_planes = tuple(
             _dtypes.twiddle_planes_out(
                 tuple(out[: len(tw)]), traits, descending=descending
@@ -485,6 +527,8 @@ def make_global_sort_planes(
             return out_planes, out_vals
         return out_planes, out_vals[0]
 
+    sorter._factors = factors      # introspection (tests/adaptive tier)
+    sorter._shard_fns = shard_fns
     return sorter
 
 
