@@ -23,6 +23,7 @@ T=120 run python -c "import jax,jax.numpy as jnp,numpy as np; print('TPU OK', np
 # 1) headline + ceilings (the round's recorded metric)
 T=900 run python bench.py --log2n 28 --verify
 T=900 run python bench.py --log2n 26 --pairs --verify
+T=900 run python bench.py --log2n 28 --pairs --verify
 T=900 run python bench.py --log2n 26 --pairs --gather --verify
 T=900 run python bench.py --log2n 26 --pairs --unstable
 T=900 run python bench.py --log2n 29
@@ -117,8 +118,8 @@ T=600 run python benchmarks/segmented_bench.py --log2n 24 --seg 4096 --ragged
 # 9) the VERDICT-#2 artifact: entropy matrix at 2^28 (u32/u64/pairs x
 #    entropy {1,2,4,8,0} + zipf) through the host-owned tier chain
 T=3000 run python benchmarks/entropy_matrix.py -k $((1<<28)) --csv benchmarks/results/entropy_matrix_r2_28.csv
-T=1800 run python benchmarks/entropy_matrix.py -k $((1<<26)) --types pairs --stable --csv benchmarks/results/entropy_matrix_r2_pairs.csv
-T=1800 run python benchmarks/entropy_matrix.py -k $((1<<26)) --types uint64 --csv benchmarks/results/entropy_matrix_r2_u64.csv
+T=2400 run python benchmarks/entropy_matrix.py -k $((1<<28)) --types pairs --stable --csv benchmarks/results/entropy_matrix_r2_pairs.csv
+T=2400 run python benchmarks/entropy_matrix.py -k $((1<<28)) --types uint64 --csv benchmarks/results/entropy_matrix_r2_u64.csv
 
 # 10) the /verify edge battery, on-chip (small compiles)
 T=900 run python - <<'PYEOF'
