@@ -247,7 +247,7 @@ def main():
     row = {
         "metric": metric,
         "value": round(value),
-        "unit": "keys/s",
+        "unit": "pairs/s" if args.pairs else "keys/s",
         "vs_baseline": round(value / TARGET_KEYS_PER_S, 4),
     }
     if args.verify:

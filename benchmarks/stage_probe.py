@@ -322,10 +322,13 @@ def probe_matmul(dtype_name: str):
             o = o + jax.lax.dot_general(
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc)
-            a = a + a
+            # perturb so the loop can't collapse to one matmul; int8 vector
+            # add doesn't lower in Mosaic, xor does
+            a = a ^ jnp.int8(1) if dtype_name == "s8" else a + a
         o_ref[...] = o
 
-    G = 64
+    # big grid so compute dwarfs the ~28 ms tunnel-sync noise floor
+    G = 4096 if _on_tpu() else 4
     f = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((m, n2), acc),
@@ -416,7 +419,7 @@ def probe_thin_mm(w: int):
             x = x + jnp.float32(1.0)
         o_ref[...] = acc
 
-    G = 64
+    G = 2048 if _on_tpu() else 4
     f = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((LANES, w), jnp.float32),
@@ -448,7 +451,7 @@ def probe_batch_mm(w: int):
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
-    G = 64
+    G = 1024 if _on_tpu() else 4
     f = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, LANES, w), jnp.float32),
@@ -485,19 +488,20 @@ def probe_rowperm_mm(check: bool = False):
 
     def kern(x_ref, d_ref, o_ref):
         for b in range(nb):
+            # Mosaic has no direct u32->f32 cast; inputs are int32
             x = x_ref[b].astype(jnp.float32)
-            dest = d_ref[b].astype(jnp.int32)      # (1, 128) target rows
+            dest = d_ref[b]                        # (1, 128) target rows
             for _ in range(reps):
                 q = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
                      == dest).astype(jnp.float32)
                 x = jax.lax.dot_general(
                     q, x, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            o_ref[b] = x.astype(jnp.uint32)
+            o_ref[b] = x.astype(jnp.int32)
 
     f = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.int32),
         grid=(T // nb,),
         in_specs=[
             pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
@@ -509,10 +513,10 @@ def probe_rowperm_mm(check: bool = False):
                                memory_space=pltpu.VMEM),
     )
     x = jax.random.randint(jax.random.key(0), (T, rows, LANES), 0, 1 << 22,
-                           jnp.int32).astype(jnp.uint32)
+                           jnp.int32)
     perm = np.stack([np.random.default_rng(i).permutation(LANES)
                      for i in range(T)]).astype(np.int32)[:, None, :]
-    d = jnp.asarray(perm).astype(jnp.uint32)
+    d = jnp.asarray(perm)
     if check:
         got = np.asarray(f(x, d))[0]
         ref = np.asarray(x)[0]
@@ -582,7 +586,9 @@ def probe_dynstore(w_rows: int = 2, check: bool = False):
 def probe_gather_wide():
     """Cross-vreg lane gather: take_along_axis over a (B, 16384) row —
     what a sortkey-sort + payload-gather tile path would need (indices
-    span 128 vregs, not one)."""
+    span 128 vregs, not one).  Block shape (8, K) satisfies Mosaic's
+    (8, 128) divisibility rule (round 2's (4, K) spec could never lower,
+    so the gather itself was never actually probed)."""
     B, K, reps = 16, 1 << 14, 2
 
     def kern(x_ref, i_ref, o_ref):
@@ -591,11 +597,11 @@ def probe_gather_wide():
             x = jnp.take_along_axis(x, idx, axis=1)
         o_ref[...] = x
 
-    spec = pl.BlockSpec((4, K), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((8, K), lambda t: (t, 0), memory_space=pltpu.VMEM)
     f = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, K), jnp.int32),
-        grid=(B // 4,),
+        grid=(B // 8,),
         in_specs=[spec, spec], out_specs=spec,
     )
     x = jax.random.randint(jax.random.key(0), (B, K), 0, 1 << 30, jnp.int32)
@@ -613,11 +619,19 @@ def probe_gather_wide():
 
 
 def probe_gather():
-    """Does Mosaic lower take_along_axis on sublanes / lanes at all?"""
-    rows, T, reps = 128, _scaled(64), 4
+    """Does Mosaic lower take_along_axis at all, and at what granularity?
 
-    for axis in (1, 2):
-        hi = rows if axis == 1 else LANES
+    2D shapes only (Mosaic: "Only 2D gather is supported").  Three cases:
+      * lane gather: (R, 128) indices in [0, 128) along axis=1 — per-row
+        permutes within one vreg-width, the building block for subtile
+        sortkey apply;
+      * sublane gather: (R, 128) indices in [0, R) along axis=0 — cross-row
+        movement at fixed lane;
+      * wide-row gather (probe_gather_wide): indices span 128 vregs.
+    """
+    R, T, reps = 512, _scaled(32), 4
+
+    for axis, hi, label in ((1, LANES, "lane"), (0, R, "sublane")):
 
         def kern(x_ref, i_ref, o_ref, axis=axis):
             x, idx = x_ref[...], i_ref[...]
@@ -625,29 +639,30 @@ def probe_gather():
                 x = jnp.take_along_axis(x, idx, axis=axis)
             o_ref[...] = x
 
-        spec = pl.BlockSpec((4, rows, LANES), lambda t: (t, 0, 0),
+        spec = pl.BlockSpec((R, LANES), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
         f = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.int32),
-            grid=(T // 4,),
+            out_shape=jax.ShapeDtypeStruct((T * R, LANES), jnp.int32),
+            grid=(T,),
             in_specs=[spec, spec], out_specs=spec,
         )
-        x = jax.random.randint(jax.random.key(0), (T, rows, LANES), 0,
+        x = jax.random.randint(jax.random.key(0), (T * R, LANES), 0,
                                1 << 30, jnp.int32)
-        idx = jax.random.randint(jax.random.key(1), (T, rows, LANES), 0, hi,
+        idx = jax.random.randint(jax.random.key(1), (T * R, LANES), 0, hi,
                                  jnp.int32)
         try:
             got = np.asarray(f(x, idx))
-            ref = x
+            ref = x.reshape(T, R, LANES)
+            idx3 = idx.reshape(T, R, LANES)
             for _ in range(reps):
-                ref = jnp.take_along_axis(ref, idx, axis=axis)
-            ok = np.array_equal(got, np.asarray(ref))
+                ref = jnp.take_along_axis(ref, idx3, axis=axis + 1)
+            ok = np.array_equal(got, np.asarray(ref).reshape(T * R, LANES))
             dt = _measure(f, x, idx)
-            _report(f"gather axis={axis} ok={ok}", dt,
-                    T * rows * LANES * reps)
+            _report(f"gather {label} (axis={axis}) ok={ok}", dt,
+                    T * R * LANES * reps)
         except Exception as e:
-            print(f"gather axis={axis}: FAIL {type(e).__name__}: "
+            print(f"gather {label} (axis={axis}): FAIL {type(e).__name__}: "
                   f"{str(e)[:160]}")
 
 
