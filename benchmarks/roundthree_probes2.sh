@@ -25,4 +25,17 @@ run python benchmarks/stage_probe.py thin_mm --w 128
 run python benchmarks/stage_probe.py batch_mm --w 2
 run python benchmarks/stage_probe.py batch_mm --w 8
 
+run python benchmarks/stage_probe.py starts --r 32
+run python benchmarks/stage_probe.py starts --r 128
+run python benchmarks/stage_probe.py starts_rows --r 128
+
+# roll-axis / layout-swap hypothesis: are lane rolls the 5x efficiency gap?
+run python benchmarks/stage_probe.py roll --axis lane
+run python benchmarks/stage_probe.py roll --axis sublane
+run python benchmarks/stage_probe.py roll --axis lane --dist 32
+run python benchmarks/stage_probe.py roll --axis sublane --dist 32
+run python benchmarks/stage_probe.py transpose
+T=600 run python benchmarks/stage_probe.py network_swapped --log2n 26
+T=600 run python benchmarks/stage_probe.py merge_swapped --log2n 26 --merge-from 512
+
 echo "=== probes2 complete $(date) ===" | tee -a "$LOG"

@@ -55,6 +55,149 @@ def _measure(f, *args):
     return float("nan")
 
 
+def probe_roll(axis_name: str, dist: int = 1, nb: int = 4):
+    """Cost of one pltpu.roll along lanes vs sublanes — the network's
+    per-stage cost is dominated by partner moves, and if lane rolls are
+    much dearer than sublane rolls, swapping which index bits live on
+    which axis reorders 77 of 105 stages onto the cheap axis."""
+    rows = 128
+    T, reps = _scaled(512, nb), 64
+    axis = 2 if axis_name == "lane" else 1
+
+    def kern(x_ref, o_ref):
+        x = x_ref[...]
+        for i in range(reps):
+            x = pltpu.roll(x, dist, axis=axis) ^ jnp.uint32(i)
+        o_ref[...] = x
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        grid=(T // nb,),
+        in_specs=[spec], out_specs=spec,
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    dt = _measure(f, x)
+    n_ops = T * rows * LANES * reps
+    print(f"roll {axis_name} d={dist}: {dt*1e3:.3f} ms -> "
+          f"{dt/reps*1e6:.2f} us/roll-pass ({n_ops/dt/1e9:.1f} G elem-roll/s)")
+
+
+def probe_transpose(nb: int = 4):
+    """In-kernel (128,128) transpose cost (XLU / Mosaic-native) — cheap
+    transposes let the network's lane-level stages run as sublane stages."""
+    rows = 128
+    T, reps = _scaled(512, nb), 16
+
+    def kern(x_ref, o_ref):
+        for b in range(nb):
+            x = x_ref[b]
+            for i in range(reps):
+                x = x.T ^ jnp.uint32(i)
+            o_ref[b] = x
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        grid=(T // nb,),
+        in_specs=[spec], out_specs=spec,
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    try:
+        dt = _measure(f, x)
+        print(f"transpose 128x128: {dt/(T*reps)*1e9:.1f} ns/transpose "
+              f"({T*rows*LANES*reps/dt/1e9:.1f} G elem/s)")
+    except Exception as e:
+        print(f"transpose: FAIL {type(e).__name__}: {str(e)[:160]}")
+
+
+def _bit_swapped(shape, bit: int):
+    """Like bitonic._bit but for the SWAPPED element mapping
+    i = lane*ROWS + row: fine bits live on the sublane axis."""
+    rows = shape[-2]
+    rb = rows.bit_length() - 1
+    if bit < rb:
+        ids = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+        return (ids >> bit) & 1
+    ids = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return (ids >> (bit - rb)) & 1
+
+
+def _partner_swapped(x, j: int):
+    rows = x.shape[-2]
+    rb = rows.bit_length() - 1
+    d = 1 << j
+    if d < rows:
+        axis, dist = x.ndim - 2, d
+    else:
+        axis, dist = x.ndim - 1, d >> rb
+    size = x.shape[axis]
+    fwd = pltpu.roll(x, size - dist, axis=axis)
+    bwd = pltpu.roll(x, dist, axis=axis)
+    return jnp.where(_bit_swapped(x.shape, j) == 1, bwd, fwd)
+
+
+def probe_network_swapped(log2n: int, k: int, nb: int, merge_from: int = 0):
+    """The full bitonic sort with the swapped index mapping (i = lane*ROWS
+    + row): stages j<7 roll SUBLANES instead of lanes — 77 of 105 stages
+    move to the cheap axis if sublane rolls are cheaper.  Measures the
+    same stage count as probe_network; output order differs (swapped
+    linear order) but per-stage work is identical."""
+    n = 1 << log2n
+    T = _scaled(n // k)
+    n = T * k
+    rows = k // LANES
+
+    def _cmp_sw(arrays, j, kk):
+        key = arrays[0]
+        partners = [_partner_swapped(a, j) for a in arrays]
+        fwd_dir = _bit_swapped(key.shape, j) == _bit_swapped(key.shape, kk + 1)
+        a = jnp.where(fwd_dir, key, partners[0])
+        b = jnp.where(fwd_dir, partners[0], key)
+        take = jnp.where(a <= b, jnp.int32(1), jnp.int32(0)) == 1
+        return [jnp.where(take, x, px) for x, px in zip(arrays, partners)]
+
+    def kern(x_ref, o_ref):
+        x = [x_ref[...]]
+        n_bits = k.bit_length() - 1
+        k0 = merge_from.bit_length() - 1 if merge_from else 0
+        for kk in range(k0, n_bits):
+            for j in range(kk, -1, -1):
+                x = _cmp_sw(x, j, kk)
+        o_ref[...] = x[0]
+
+    spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32),
+        grid=(T // nb,),
+        in_specs=[spec], out_specs=spec,
+    )
+    x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
+    dt = _measure(f, x)
+    lgk = k.bit_length() - 1
+    if merge_from:
+        k0 = merge_from.bit_length() - 1
+        stages = sum(range(k0 + 1, lgk + 1))
+    else:
+        stages = lgk * (lgk + 1) // 2
+    _report(f"network_swapped k={k} nb={nb} merge_from={merge_from} "
+            f"({stages} stages)", dt, n)
+    print(f"  per-stage: {dt/stages*1e3:.4f} ms "
+          f"({dt/stages/n*1e12:.3f} ps/elem/stage)")
+    if not _on_tpu() and not merge_from:
+        # correctness smoke: swapped-linear order == sorted after unswap
+        got = np.asarray(f(x))[0]
+        un = got.transpose(1, 0).reshape(-1)  # (lane, row) -> linear
+        assert np.all(np.diff(un.astype(np.int64)) >= 0), "swapped sort broken"
+        print("  swapped order check: ok")
+
+
 def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
                   dtype_name: str = "u32"):
     """Pure bitonic sort (or merge) kernel over (T, K) tiles, 1 operand.
@@ -105,7 +248,7 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
 
 
 def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
-                    s: int = 0, k: int = 1 << 14):
+                    s: int = 0, k: int = 1 << 14, nb: int = 4):
     """The production fused partition pass at production geometry."""
     from tpusort.kernels.partition import partition_pass_fused
 
@@ -120,12 +263,13 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
     def fn(keys):
         data, counts = partition_pass_fused(
             [keys], [], None, r=r, s=s, lo_bit=32 - width, width=width,
-            n=n, t_seg=T, starts_rows=starts_rows, interpret=False,
+            n=n, t_seg=T, starts_rows=starts_rows, batch=nb,
+            interpret=False,
         )
         return data[0], counts
 
     dt = _measure(fn, keys)
-    _report(f"pass_full k={k} r={r} s={s} rows={starts_rows}", dt, n)
+    _report(f"pass_full k={k} r={r} s={s} nb={nb} rows={starts_rows}", dt, n)
 
 
 def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
@@ -290,15 +434,15 @@ def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
                             (row_last < jnp.uint32(d)).astype(jnp.int32))
                         total += rb
             digit = digit ^ jnp.uint32(total & 1)
-        o_ref[0, 0] = total
+        o_ref[0, 0, 0] = total
 
     f = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((T // nb, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T // nb, 1, r), jnp.int32),
         grid=(T // nb,),
         in_specs=[pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((1, 1, r), lambda t: (t, 0, 0),
                                memory_space=pltpu.SMEM),
     )
     x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
@@ -685,7 +829,10 @@ def main():
                                       "rowperm_mm", "dynstore", "batch_mm",
                                       "pass_gather", "pass_stable",
                                       "leaf_gather", "leaf_multi",
-                                      "pass_u16"])
+                                      "pass_u16", "roll", "transpose",
+                                      "network_swapped", "merge_swapped"])
+    ap.add_argument("--axis", default="lane", choices=["lane", "sublane"])
+    ap.add_argument("--dist", type=int, default=1)
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -702,6 +849,19 @@ def main():
     args = ap.parse_args()
 
     el_dt = args.dtype if args.dtype in ("u32", "u16", "s16") else "u32"
+    if args.probe == "roll":
+        probe_roll(args.axis, dist=args.dist, nb=args.nb)
+        return
+    if args.probe == "transpose":
+        probe_transpose(nb=args.nb)
+        return
+    if args.probe == "network_swapped":
+        probe_network_swapped(args.log2n, args.k, args.nb)
+        return
+    if args.probe == "merge_swapped":
+        probe_network_swapped(args.log2n, args.k, args.nb,
+                              merge_from=args.merge_from)
+        return
     if args.probe == "network":
         probe_network(args.log2n, args.k, args.nb, dtype_name=el_dt)
     elif args.probe == "merge":
@@ -709,7 +869,7 @@ def main():
                       merge_from=args.merge_from, dtype_name=el_dt)
     elif args.probe == "pass_full":
         probe_pass_full(args.log2n, r=args.r, starts_rows=args.starts_rows,
-                        s=args.s, k=args.k)
+                        s=args.s, k=args.k, nb=args.nb)
     elif args.probe == "starts":
         probe_starts(args.r, "full")
     elif args.probe == "starts_rows":
