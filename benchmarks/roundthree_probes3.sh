@@ -23,4 +23,10 @@ run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 65536 --nb 
 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 65536 --nb 1
 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 16384 --nb 8
 
+# multi-operand networks at big-tile geometry (stable pairs / u64 cost)
+run python benchmarks/stage_probe.py network --log2n 26 --k 65536 --nb 1 --ops 3
+run python benchmarks/stage_probe.py network --log2n 26 --k 16384 --nb 4 --ops 3
+run python benchmarks/stage_probe.py network --log2n 26 --k 65536 --nb 1 --ops 2
+run python benchmarks/stage_probe.py network --log2n 26 --k 65536 --nb 1 --ops 2 --num-keys 2
+
 echo "=== probes3 complete $(date) ===" | tee -a "$LOG"

@@ -199,12 +199,14 @@ def probe_network_swapped(log2n: int, k: int, nb: int, merge_from: int = 0):
 
 
 def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
-                  dtype_name: str = "u32"):
-    """Pure bitonic sort (or merge) kernel over (T, K) tiles, 1 operand.
+                  dtype_name: str = "u32", n_ops: int = 1,
+                  num_keys: int = 1):
+    """Pure bitonic sort (or merge) kernel over (T, K) tiles.
 
-    ``--dtype u16``: same network on uint16 vregs — if Mosaic packs 16-bit
-    lanes 2x, a compact (digit|idx) u16 sortkey halves the per-stage cost
-    and a gather-apply keys path opens below the u32 network floor."""
+    ``--ops N``: N operands ride the network (op 0 the key unless
+    ``--num-keys`` > 1 for lexicographic multi-plane keys) — the stable
+    pairs / u64 cost shape.  ``--dtype u16``: same network on uint16
+    vregs (does not lower on v5e: Mosaic cannot roll 16-bit vregs)."""
     n = 1 << log2n
     T = _scaled(n // k)
     n = T * k
@@ -212,21 +214,24 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
     dt_map = {"u32": jnp.uint32, "u16": jnp.uint16, "s16": jnp.int16}
     dt_el = dt_map[dtype_name]
 
-    def kern(x_ref, o_ref):
-        x = [x_ref[...]]
+    def kern(*refs):
+        ins, outs = refs[:n_ops], refs[n_ops:]
+        x = [r[...] for r in ins]
         if merge_from:
-            x = _merge_sorted_runs(x, merge_from)
+            x = _merge_sorted_runs(x, merge_from, num_keys=num_keys)
         else:
-            x = _sort_network(x)
-        o_ref[...] = x[0]
+            x = _sort_network(x, num_keys=num_keys)
+        for o, a in zip(outs, x):
+            o[...] = a
 
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
     f = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((T, rows, LANES), dt_el),
+        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), dt_el)
+                   for _ in range(n_ops)],
         grid=(T // nb,),
-        in_specs=[spec], out_specs=spec,
+        in_specs=[spec] * n_ops, out_specs=[spec] * n_ops,
     )
     x = jax.random.bits(jax.random.key(0), (T, rows, LANES), dtype=jnp.uint32)
     if dt_el != jnp.uint32:
@@ -234,7 +239,12 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
     if merge_from:
         xs = x.reshape(T, -1, merge_from)
         x = jax.lax.sort(xs, dimension=2).reshape(T, rows, LANES)
-    dt = _measure(f, x)
+    ops = [x] + [
+        jax.random.bits(jax.random.key(i + 1), (T, rows, LANES),
+                        dtype=jnp.uint32).astype(dt_el)
+        for i in range(n_ops - 1)
+    ]
+    dt = _measure(f, *ops)
     lgk = k.bit_length() - 1
     if merge_from:
         k0 = merge_from.bit_length() - 1
@@ -242,7 +252,8 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
     else:
         stages = lgk * (lgk + 1) // 2
     _report(f"{'merge' if merge_from else 'sort'} k={k} nb={nb} "
-            f"{dtype_name} ({stages} stages)", dt, n)
+            f"ops={n_ops} keys={num_keys} {dtype_name} ({stages} stages)",
+            dt, n)
     print(f"  per-stage: {dt/stages*1e3:.4f} ms "
           f"({dt/stages/n*1e12:.3f} ps/elem/stage)")
 
@@ -833,6 +844,8 @@ def main():
                                       "network_swapped", "merge_swapped"])
     ap.add_argument("--axis", default="lane", choices=["lane", "sublane"])
     ap.add_argument("--dist", type=int, default=1)
+    ap.add_argument("--ops", type=int, default=1)
+    ap.add_argument("--num-keys", type=int, default=1)
     ap.add_argument("--log2n", type=int, default=26)
     ap.add_argument("--k", type=int, default=1 << 14)
     ap.add_argument("--nb", type=int, default=4)
@@ -863,10 +876,12 @@ def main():
                               merge_from=args.merge_from)
         return
     if args.probe == "network":
-        probe_network(args.log2n, args.k, args.nb, dtype_name=el_dt)
+        probe_network(args.log2n, args.k, args.nb, dtype_name=el_dt,
+                      n_ops=args.ops, num_keys=args.num_keys)
     elif args.probe == "merge":
         probe_network(args.log2n, args.k, args.nb,
-                      merge_from=args.merge_from, dtype_name=el_dt)
+                      merge_from=args.merge_from, dtype_name=el_dt,
+                      n_ops=args.ops, num_keys=args.num_keys)
     elif args.probe == "pass_full":
         probe_pass_full(args.log2n, r=args.r, starts_rows=args.starts_rows,
                         s=args.s, k=args.k, nb=args.nb)
