@@ -89,12 +89,6 @@ def main():
     ap.add_argument("--pairs", action="store_true")
     ap.add_argument("--unstable", action="store_true",
                     help="unstable pair semantics (reference MSB parity)")
-    ap.add_argument("--gather", action="store_true",
-                    help="flip use_gather_pass on for this run's configs "
-                         "(A/B the gather-apply pass/leaf vs the default)")
-    ap.add_argument("--u16", action="store_true",
-                    help="flip use_u16_pass on for this run's configs "
-                         "(A/B the u16-subtile passes vs the raw default)")
     ap.add_argument("--verify", action="store_true",
                     help="in-graph verification after timing: sortedness + "
                          "multiset checksums vs the input (on-chip, no "
@@ -102,21 +96,6 @@ def main():
                          "plausible timings)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
-
-    if args.gather or args.u16:
-        from dataclasses import replace as _replace
-
-        from tpusort.configs import get_config, register_config
-
-        plat = jax.default_backend()
-        for bits in (32, 64):
-            for hv in (False, True):
-                cfg = get_config(bits, hv, plat)
-                if args.gather:
-                    cfg = _replace(cfg, use_gather_pass=True)
-                if args.u16:
-                    cfg = _replace(cfg, use_u16_pass=True)
-                register_config(bits, hv, plat, cfg)
 
     n = 1 << args.log2n
     overhead = _time(jax.jit(lambda a: a),
@@ -152,10 +131,8 @@ def main():
         from tpusort.configs import get_config as _get_config
         from tpusort.ops.msd import sort_twiddled_msd as _msd_sort
 
-        # thread the registered tuning config through: without it the
-        # --gather/--u16 overrides installed above would be silently
-        # ignored on this path (the engine gates those variants on
-        # config.use_*), making the A/B arms identical
+        # thread the registered tuning config through so this path compiles
+        # the same plan geometry the public API would
         _cfg = _get_config(32, False)
 
         def fn(seed):

@@ -2,10 +2,10 @@
 
 Groups the log by its ``=== <cmd> === <time>`` step headers, pulls the
 result lines (throughput ``->`` lines, bench JSON rows, check verdicts),
-and prints a compact per-step table plus the two config decisions the
-drive exists to make: ``use_gather_pass`` (stable pairs) and
-``use_u16_pass`` (keys-only), each decided by comparing the measured
-pass-variant rates at 2^26.
+and prints a compact per-step table.  (The round-2 gather/u16 config
+decisions this tool also printed are gone with those paths: the round-3
+on-chip probes refuted them — cross-vreg gathers and u16 rolls do not
+lower in Mosaic.)
 
 Usage: python benchmarks/drive_summary.py [logfile]
 """
@@ -70,29 +70,6 @@ def main():
         r = rate_of(lines)
         if r is not None:
             probes[short] = r
-    # --- config decisions ---
-    def find(sub):
-        return {k: v for k, v in probes.items() if sub in k}
-
-    print("\n=== decisions ===")
-    sg = [v for k, v in find("stage_probe.py pass_stable --log2n 26").items()
-          if "--planes" not in k]
-    gg = [v for k, v in find("stage_probe.py pass_gather --log2n 26").items()
-          if "--planes" not in k and "--values 2" not in k and "--nb" not in k]
-    if sg and gg:
-        flip = max(gg) > max(sg)
-        print(f"use_gather_pass: stable={max(sg):.3f} G/s vs gather="
-              f"{max(gg):.3f} G/s -> {'FLIP ON' if flip else 'keep off'}")
-    u16 = find("pass_u16 --log2n 26 --values 0")
-    full = find("pass_full --log2n 26 --r 32")
-    if u16 and full:
-        fl = [v for k, v in full.items() if "--k " not in k and "--starts" not in k]
-        if fl:
-            flip = max(u16.values()) > max(fl)
-            print(f"use_u16_pass: full={max(fl):.3f} G/s vs u16(best)="
-                  f"{max(u16.values()):.3f} G/s -> {'FLIP ON' if flip else 'keep off'}")
-            best_u16 = max(u16, key=u16.get)
-            print(f"  best u16 variant: {best_u16}")
 
 
 if __name__ == "__main__":

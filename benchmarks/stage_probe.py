@@ -9,7 +9,6 @@ keep them small so a wedged remote-compile service can't eat the session):
     python benchmarks/stage_probe.py merge --log2n 26
     python benchmarks/stage_probe.py pass_full --log2n 26
     python benchmarks/stage_probe.py starts --r 32
-    python benchmarks/stage_probe.py starts_rows --r 32
     python benchmarks/stage_probe.py matmul --dtype bf16
     python benchmarks/stage_probe.py gather
 """
@@ -258,7 +257,7 @@ def probe_network(log2n: int, k: int, nb: int, merge_from: int = 0,
           f"({dt/stages/n*1e12:.3f} ps/elem/stage)")
 
 
-def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
+def probe_pass_full(log2n: int, r: int = 32,
                     s: int = 0, k: int = 1 << 14, nb: int = 4):
     """The production fused partition pass at production geometry."""
     from tpusort.kernels.partition import partition_pass_fused
@@ -274,148 +273,13 @@ def probe_pass_full(log2n: int, r: int = 32, starts_rows: bool = False,
     def fn(keys):
         data, counts = partition_pass_fused(
             [keys], [], None, r=r, s=s, lo_bit=32 - width, width=width,
-            n=n, t_seg=T, starts_rows=starts_rows, batch=nb,
+            n=n, t_seg=T, batch=nb,
             interpret=False,
         )
         return data[0], counts
 
     dt = _measure(fn, keys)
-    _report(f"pass_full k={k} r={r} s={s} nb={nb} rows={starts_rows}", dt, n)
-
-
-def probe_pass_gather(log2n: int, r: int = 32, k: int = 1 << 14,
-                      n_values: int = 1, n_planes: int = 1, nb: int = 4,
-                      gather: bool = True, check: bool = False):
-    """The stable pairs pass, general path (every operand rides the
-    network) vs gather-apply (1-operand sortkey network + take_along_axis
-    emit).  The decisive measurement for stable pairs / u64 throughput:
-    if the composed gathers beat the extra network operands, the stable
-    engine switches to gather_apply on chip."""
-    from tpusort.kernels.partition import partition_pass_fused
-
-    n = 1 << log2n
-    s = ((3 * k // (2 * r)) // 128) * 128
-    width = r.bit_length() - 1
-    T = n // k
-    planes = [jax.random.bits(jax.random.key(90 + i), (T, k),
-                              dtype=jnp.uint32) for i in range(n_planes)]
-    vals = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
-            for i in range(n_values)]
-    lo_bit = 32 * n_planes - width
-
-    def fn(ga, *ops):
-        data, counts = partition_pass_fused(
-            list(ops[:n_planes]), list(ops[n_planes:]), None, r=r, s=s,
-            lo_bit=lo_bit, width=width, n=n, t_seg=T, gather_apply=ga,
-            batch=nb, interpret=False,
-        )
-        return data[0], counts
-
-    ops = planes + vals
-    if check:
-        d0, c0 = jax.jit(functools.partial(fn, False))(*ops)
-        d1, c1 = jax.jit(functools.partial(fn, True))(*ops)
-        ok = np.array_equal(np.asarray(c0), np.asarray(c1))
-        A = np.asarray(d0).reshape(1, r, T, s)
-        B = np.asarray(d1).reshape(1, r, T, s)
-        c = np.asarray(c0)
-        for d in range(r):
-            for t in range(T):
-                # run multisets (the raw baseline emits runs key-sorted,
-                # the gather path in stable input order)
-                if not np.array_equal(np.sort(A[0, d, t, : c[t, d]]),
-                                      np.sort(B[0, d, t, : c[t, d]])):
-                    ok = False
-        print(f"pass_gather check (log2n={log2n}):", ok)
-    dt = _measure(functools.partial(fn, gather), *ops)
-    _report(f"pass_{'gather' if gather else 'stable'} k={k} r={r} s={s} "
-            f"planes={n_planes} values={n_values}", dt, n)
-
-
-def probe_pass_u16(log2n: int, r: int = 16, k: int = 1 << 14, c: int = 0,
-                   n_values: int = 0, nb: int = 4, check: bool = False):
-    """The u16-subtile sortkey pass at production geometry — the candidate
-    that undercuts the u32 network floor if 16-bit compare-exchange packs
-    2x (compare against pass_full, the raw keys-only baseline, and
-    network --dtype u16)."""
-    from tpusort.kernels.partition import (
-        partition_pass_fused, partition_pass_u16,
-    )
-
-    n = 1 << log2n
-    s = ((3 * k // (2 * r)) // 128) * 128
-    width = r.bit_length() - 1
-    T = n // k
-    keys = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
-    vals = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
-            for i in range(n_values)]
-
-    def fn(keys, *vals):
-        data, counts = partition_pass_u16(
-            [keys], list(vals), None, r=r, s=s, lo_bit=32 - width,
-            width=width, n=n, t_seg=T, c=c, batch=nb, interpret=False,
-        )
-        return data[0], counts
-
-    if check:
-        d1, c1 = jax.jit(fn)(keys, *vals)
-        d0, c0 = jax.jit(lambda kk, *vv: partition_pass_fused(
-            [kk], list(vv), None, r=r, s=s, lo_bit=32 - width, width=width,
-            n=n, t_seg=T, interpret=False))(keys, *vals)
-        ok = np.array_equal(np.asarray(c0), np.asarray(c1))
-        A = np.asarray(d0[0]).reshape(1, r, T, s)
-        B = np.asarray(d1).reshape(1, r, T, s)
-        cc = np.asarray(c0)
-        for d in range(r):
-            for t in range(T):
-                if not np.array_equal(np.sort(A[0, d, t, : cc[t, d]]),
-                                      np.sort(B[0, d, t, : cc[t, d]])):
-                    ok = False
-        print(f"pass_u16 check (log2n={log2n}):", ok)
-    dt = _measure(fn, keys, *vals)
-    _report(f"pass_u16 k={k} r={r} s={s} c={c or 'auto'} "
-            f"values={n_values}", dt, n)
-
-
-def probe_leaf_gather(log2n: int, k: int = 1 << 14, n_values: int = 2,
-                      gather: bool = True, check: bool = False):
-    """Leaf-level A/B: multi-operand sort_tiles vs sortkey-gather variant
-    on identical shapes (sortkey + n_values payload operands)."""
-    from tpusort.kernels.bitonic import (
-        sort_tiles, sort_tiles_sortkey_gather,
-    )
-
-    n = 1 << log2n
-    T = n // k
-    idx_bits = k.bit_length() - 1
-    sk = jax.random.bits(jax.random.key(0), (T, k), dtype=jnp.uint32)
-    # sortkey low field = within-tile position (the gather source)
-    sk = (sk & jnp.uint32(~((1 << idx_bits) - 1) & 0xFFFFFFFF)) | jnp.broadcast_to(
-        jnp.arange(k, dtype=jnp.uint32)[None, :], (T, k))
-    datas = [jax.random.bits(jax.random.key(i + 1), (T, k), dtype=jnp.uint32)
-             for i in range(n_values)]
-
-    def src_of(s):
-        return (s & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-
-    if gather:
-        fn = jax.jit(lambda s_, *d: sort_tiles_sortkey_gather(
-            s_, list(d), src_of, interpret=False))
-    else:
-        fn = jax.jit(lambda s_, *d: sort_tiles(
-            [s_] + list(d), interpret=False))
-    if check:
-        g = jax.jit(lambda s_, *d: sort_tiles_sortkey_gather(
-            s_, list(d), src_of, interpret=False))(sk, *datas)
-        b = jax.jit(lambda s_, *d: sort_tiles(
-            [s_] + list(d), interpret=False))(sk, *datas)
-        ok = np.array_equal(np.asarray(g[0]), np.asarray(b[0]))
-        for x, y in zip(g[1], b[1:]):
-            ok &= np.array_equal(np.asarray(x), np.asarray(y))
-        print(f"leaf_gather check (log2n={log2n}):", ok)
-    dt = _measure(fn, sk, *datas)
-    _report(f"leaf_{'gather' if gather else 'multi'} k={k} "
-            f"values={n_values}", dt, n)
+    _report(f"pass_full k={k} r={r} s={s} nb={nb}", dt, n)
 
 
 def probe_starts(r: int, variant: str, iters_in_kernel: int = 8):
@@ -838,9 +702,7 @@ def main():
                                       "starts", "starts_rows", "matmul",
                                       "gather", "rankdest", "thin_mm",
                                       "rowperm_mm", "dynstore", "batch_mm",
-                                      "pass_gather", "pass_stable",
-                                      "leaf_gather", "leaf_multi",
-                                      "pass_u16", "roll", "transpose",
+                                      "roll", "transpose",
                                       "network_swapped", "merge_swapped"])
     ap.add_argument("--axis", default="lane", choices=["lane", "sublane"])
     ap.add_argument("--dist", type=int, default=1)
@@ -883,8 +745,8 @@ def main():
                       merge_from=args.merge_from, dtype_name=el_dt,
                       n_ops=args.ops, num_keys=args.num_keys)
     elif args.probe == "pass_full":
-        probe_pass_full(args.log2n, r=args.r, starts_rows=args.starts_rows,
-                        s=args.s, k=args.k, nb=args.nb)
+        probe_pass_full(args.log2n, r=args.r, s=args.s, k=args.k,
+                        nb=args.nb)
     elif args.probe == "starts":
         probe_starts(args.r, "full")
     elif args.probe == "starts_rows":
@@ -894,19 +756,6 @@ def main():
     elif args.probe == "gather":
         probe_gather()
         probe_gather_wide()
-    elif args.probe == "pass_u16":
-        probe_pass_u16(args.log2n, r=args.r, k=args.k, c=args.c,
-                       n_values=args.values, nb=args.nb, check=args.check)
-    elif args.probe in ("leaf_gather", "leaf_multi"):
-        probe_leaf_gather(args.log2n, k=args.k, n_values=args.values,
-                          gather=(args.probe == "leaf_gather"),
-                          check=args.check)
-    elif args.probe in ("pass_gather", "pass_stable"):
-        probe_pass_gather(args.log2n, r=args.r, k=args.k,
-                          n_values=args.values, n_planes=args.planes,
-                          nb=args.nb,
-                          gather=(args.probe == "pass_gather"),
-                          check=args.check)
     elif args.probe == "rankdest":
         probe_rankdest(args.r, nb=args.nb, check=args.check)
     elif args.probe == "thin_mm":

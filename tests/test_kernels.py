@@ -137,32 +137,6 @@ def test_partition_pass_counts_and_runs():
             np.testing.assert_array_equal(out[t, d, : want.size], want)
 
 
-def test_partition_starts_rows_matches_default():
-    """Row-hierarchical starts (digit monotone in a key-sorted tile) must
-    be bit-identical to the full-tile compare-reduce starts."""
-    import numpy as np
-    from tpusort.kernels.partition import partition_pass_fused
-
-    rng = np.random.default_rng(5)
-    T, K, r, s = 8, 2048, 8, 384
-    for nplanes in (1, 2):
-        planes = [
-            jnp.asarray(rng.integers(0, 1 << 32, (T, K), dtype=np.int64)
-                        .astype(np.uint32))
-            for _ in range(nplanes)
-        ]
-        n = T * K - 777
-        a, ca = partition_pass_fused(
-            planes, [], None, r=r, s=s, lo_bit=32 * nplanes - 3, width=3,
-            n=n, t_seg=T, interpret=True)
-        b, cb = partition_pass_fused(
-            planes, [], None, r=r, s=s, lo_bit=32 * nplanes - 3, width=3,
-            n=n, t_seg=T, starts_rows=True, interpret=True)
-        for x, y in zip(a, b):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
-
-
 def test_sort_tiles_counts_collapsed_dense():
     """Fused leaf+collapse: dense output equals sort-then-compact, across
     ragged counts, multiple ops, and batch-spanning offsets."""
@@ -199,130 +173,3 @@ def test_sort_tiles_counts_collapsed_dense():
     np.testing.assert_array_equal(got_pairs[o1], want_pairs[o2])
 
 
-@pytest.mark.parametrize("t_seg", [None, 4])
-def test_partition_gather_apply_matches_general(t_seg):
-    """The gather-apply pass (1-operand sortkey network + composed
-    take_along_axis emit) must agree with the general stable path on every
-    valid slot and on counts, in both tile-major and fused-exchange
-    layouts (pad slots are free garbage in both)."""
-    rng = np.random.default_rng(7)
-    T, K, r, s = 8, 1024, 8, 256
-    n = T * K - 137
-    keys = jnp.asarray(
-        rng.integers(0, 1 << 32, (T, K), dtype=np.int64).astype(np.uint32))
-    vals = jnp.asarray(
-        rng.integers(0, 1 << 32, (T, K), dtype=np.int64).astype(np.uint32))
-    kw = dict(r=r, s=s, lo_bit=29, width=3, n=n, t_seg=t_seg, interpret=True)
-    d0, c0 = partition_pass_fused([keys], [vals], None, **kw)
-    d1, c1 = partition_pass_fused([keys], [vals], None, gather_apply=True,
-                                  **kw)
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-    c = np.asarray(c0)
-    for a, b in zip(d0, d1):
-        if t_seg is None:
-            A = np.asarray(a).reshape(T, r, s)
-            B = np.asarray(b).reshape(T, r, s)
-            for t in range(T):
-                for d in range(r):
-                    np.testing.assert_array_equal(
-                        A[t, d, : c[t, d]], B[t, d, : c[t, d]])
-        else:
-            A = np.asarray(a).reshape(T // t_seg, r, t_seg, s)
-            B = np.asarray(b).reshape(T // t_seg, r, t_seg, s)
-            for seg in range(T // t_seg):
-                for d in range(r):
-                    for j in range(t_seg):
-                        cc = c[seg * t_seg + j, d]
-                        np.testing.assert_array_equal(
-                            A[seg, d, j, :cc], B[seg, d, j, :cc])
-
-
-def test_partition_gather_apply_counts_chain():
-    """gather_apply with counts-chain validity (q_in subruns)."""
-    rng = np.random.default_rng(8)
-    T, K, r, s, q = 4, 1024, 8, 256, 256
-    keys = jnp.asarray(
-        rng.integers(0, 1 << 32, (T, K), dtype=np.int64).astype(np.uint32))
-    cin = np.full((T, K // q), q, np.int32)
-    cin[:, -1] = 77
-    kw = dict(r=r, s=s, lo_bit=29, width=3, q_in=q, interpret=True)
-    d0, c0 = partition_pass_fused([keys], [], jnp.asarray(cin), **kw)
-    d1, c1 = partition_pass_fused([keys], [], jnp.asarray(cin),
-                                  gather_apply=True, **kw)
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-    c = np.asarray(c0)
-    A = np.asarray(d0[0]).reshape(T, r, s)
-    B = np.asarray(d1[0]).reshape(T, r, s)
-    for t in range(T):
-        for d in range(r):
-            # keys-only: the raw-key path emits runs key-sorted, the gather
-            # path emits them in stable input order — compare multisets
-            np.testing.assert_array_equal(
-                np.sort(A[t, d, : c[t, d]]), np.sort(B[t, d, : c[t, d]]))
-
-
-@pytest.mark.parametrize("c", [pytest.param(256, marks=pytest.mark.slow),
-                               2048])
-@pytest.mark.parametrize("t_seg", [pytest.param(None,
-                                                marks=pytest.mark.slow), 4])
-def test_partition_u16_matches_general(c, t_seg):
-    """The u16-subtile sortkey pass must agree with the general stable
-    path exactly on every valid slot and on counts (within-digit order is
-    (subtile, idx) = original tile position on both sides)."""
-    from tpusort.kernels.partition import partition_pass_u16
-
-    rng = np.random.default_rng(11)
-    T, K, r, s = 8, 2048, 8, 512
-    n = T * K - 137
-    keys = jnp.asarray(
-        rng.integers(0, 1 << 32, (T, K), dtype=np.int64).astype(np.uint32))
-    vals = jnp.asarray(
-        rng.integers(0, 1 << 32, (T, K), dtype=np.int64).astype(np.uint32))
-    kw = dict(r=r, s=s, lo_bit=29, width=3, n=n, t_seg=t_seg, interpret=True)
-    d0, c0 = partition_pass_fused([keys], [vals], None, **kw)
-    d1, c1 = partition_pass_u16([keys], [vals], None, c=c, **kw)
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-    cc = np.asarray(c0)
-    for a, b in zip(d0, d1):
-        if t_seg is None:
-            A = np.asarray(a).reshape(T, r, s)
-            B = np.asarray(b).reshape(T, r, s)
-            for t in range(T):
-                for d in range(r):
-                    np.testing.assert_array_equal(
-                        A[t, d, : cc[t, d]], B[t, d, : cc[t, d]])
-        else:
-            A = np.asarray(a).reshape(T // t_seg, r, t_seg, s)
-            B = np.asarray(b).reshape(T // t_seg, r, t_seg, s)
-            for seg in range(T // t_seg):
-                for d in range(r):
-                    for j in range(t_seg):
-                        q = cc[seg * t_seg + j, d]
-                        np.testing.assert_array_equal(
-                            A[seg, d, j, :q], B[seg, d, j, :q])
-
-
-def test_partition_u16_counts_chain_and_constraint():
-    from tpusort.kernels.partition import partition_pass_u16
-
-    rng = np.random.default_rng(12)
-    T, K, r, s, q = 4, 2048, 8, 512, 256
-    keys = jnp.asarray(
-        rng.integers(0, 1 << 32, (T, K), dtype=np.int64).astype(np.uint32))
-    cin = np.full((T, K // q), q, np.int32)
-    cin[:, -1] = 77
-    kw = dict(r=r, s=s, lo_bit=29, width=3, q_in=q, interpret=True)
-    d0, c0 = partition_pass_fused([keys], [], jnp.asarray(cin), **kw)
-    d1, c1 = partition_pass_u16([keys], [], jnp.asarray(cin), c=1024, **kw)
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-    cc = np.asarray(c0)
-    A = np.asarray(d0[0]).reshape(T, r, s)
-    B = np.asarray(d1[0]).reshape(T, r, s)
-    for t in range(T):
-        for d in range(r):
-            np.testing.assert_array_equal(
-                np.sort(A[t, d, : cc[t, d]]), np.sort(B[t, d, : cc[t, d]]))
-    # u16 capacity constraint: (r+1)*C must fit the 16-bit sortkey
-    with pytest.raises(ValueError):
-        partition_pass_u16([keys], [], None, r=63, s=s, lo_bit=26, width=6,
-                           n=T * K, c=2048, interpret=True)

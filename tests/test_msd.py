@@ -350,136 +350,6 @@ def test_msd_overflow_flag_mode():
     assert bool(ovf_c)
 
 
-def test_msd_gather_pass_pairs_interpret():
-    """Engine with SortConfig.use_gather_pass: stable pairs ride the
-    1-operand sortkey network + take_along_axis-emit passes (no composite
-    trick, no raw path) and must match the stable oracle exactly."""
-    from tpusort.configs import SortConfig
-
-    n = 12_000
-    keys = datagen.entropy_keys(jax.random.key(21), n, 2, "uint32")
-    vals = datagen.enumerated_values(n)
-    planes, traits = td.twiddle_in(keys)
-    cfg = SortConfig(use_gather_pass=True)
-    sp, sv = msd.sort_twiddled_msd(
-        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
-        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
-    )
-    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
-    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
-    np.testing.assert_array_equal(np.asarray(gk), wk)
-    np.testing.assert_array_equal(np.asarray(sv[0]), wv)
-
-
-def test_msd_gather_pass_u64_pairs_interpret():
-    """use_gather_pass with 2-plane (u64) keys + payload through the
-    general gather path."""
-    from tpusort.configs import SortConfig
-
-    n = 9_000
-    rng = np.random.default_rng(5)
-    hi = jnp.asarray(rng.integers(0, 4, n).astype(np.uint32))
-    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
-                     .astype(np.uint32))
-    vals = datagen.enumerated_values(n)
-    cfg = SortConfig(use_gather_pass=True)
-    sp, sv = msd.sort_twiddled_msd(
-        (hi, lo), (vals,), begin_bit=0, end_bit=64, total_bits=64,
-        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
-    )
-    comp = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
-        np.asarray(lo).astype(np.uint64)
-    order = np.argsort(comp, kind="stable")
-    got = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
-        np.asarray(sp[1]).astype(np.uint64)
-    np.testing.assert_array_equal(got, comp[order])
-    np.testing.assert_array_equal(np.asarray(sv[0]), np.asarray(vals)[order])
-
-
-@pytest.mark.slow
-def test_msd_gather_pass_production_geometry_soak():
-    """Gather-apply pairs at the PRODUCTION plan geometry (k=16384, r=32,
-    s from the planner) on a 2^20 input — interpret-mode validation of the
-    exact shapes the chip will run (small-geometry tests miss scale-
-    dependent index math)."""
-    from tpusort.configs import SortConfig
-
-    n = 1 << 20
-    keys = datagen.entropy_keys(jax.random.key(33), n, 2, "uint32")
-    vals = datagen.enumerated_values(n)
-    planes, traits = td.twiddle_in(keys)
-    cfg = SortConfig(use_gather_pass=True)
-    sp, sv = msd.sort_twiddled_msd(
-        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
-        use_pallas=True, config=cfg,
-        plan_kwargs=dict(k=16384, r=32, min_n=1),
-    )
-    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
-    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
-    np.testing.assert_array_equal(np.asarray(gk), wk)
-    np.testing.assert_array_equal(np.asarray(sv[0]), wv)
-
-
-def test_msd_u16_pass_keys_interpret():
-    """Engine with SortConfig.use_u16_pass: keys-only passes ride the
-    compact u16-subtile sortkey kernel; the raw leaf full-sorts (no merge
-    entry from stable-order runs). Output must be oracle-exact."""
-    from tpusort.configs import SortConfig
-
-    n = 50_000
-    keys = datagen.entropy_keys(jax.random.key(40), n, 2, "uint32")
-    planes, traits = td.twiddle_in(keys)
-    cfg = SortConfig(use_u16_pass=True)
-    sp, _ = msd.sort_twiddled_msd(
-        planes, (), begin_bit=0, end_bit=32, total_bits=32,
-        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
-    )
-    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
-    np.testing.assert_array_equal(
-        np.asarray(gk), np_sort_oracle(np.asarray(keys)))
-
-
-@pytest.mark.slow
-def test_msd_u16_pass_u64_keys_interpret():
-    from tpusort.configs import SortConfig
-
-    n = 30_000
-    rng = np.random.default_rng(41)
-    hi = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
-                     .astype(np.uint32))
-    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.int64)
-                     .astype(np.uint32))
-    cfg = SortConfig(use_u16_pass=True)
-    sp, _ = msd.sort_twiddled_msd(
-        (hi, lo), (), begin_bit=0, end_bit=64, total_bits=64,
-        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
-    )
-    comp = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
-        np.asarray(lo).astype(np.uint64)
-    got = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
-        np.asarray(sp[1]).astype(np.uint64)
-    np.testing.assert_array_equal(got, np.sort(comp))
-
-
-@pytest.mark.slow
-def test_msd_u16_pass_constant_keys_fallback():
-    """u16 passes on entropy-0 input: every run overflows, the lax.cond
-    fallback must fire and return the exact result."""
-    from tpusort.configs import SortConfig
-
-    n = 40_000
-    keys = jnp.zeros((n,), jnp.uint32)
-    planes, traits = td.twiddle_in(keys)
-    cfg = SortConfig(use_u16_pass=True)
-    sp, _ = msd.sort_twiddled_msd(
-        planes, (), begin_bit=0, end_bit=32, total_bits=32,
-        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
-        skew_tier=False,
-    )
-    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
-    np.testing.assert_array_equal(np.asarray(gk), np.zeros(n, np.uint32))
-
-
 def test_skew_tier_pairs_cond_traces():
     """skew_tier=True with payload operands must keep the lax.cond
     branches pytree-compatible (regression: the equidepth fallback branch

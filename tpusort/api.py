@@ -443,11 +443,7 @@ def argsort(
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
     total = _dtypes.key_bits(keys.dtype)
     eb = total if end_bit is None else end_bit
-    # with gather-apply passes enabled, stable pairs ride a 1-operand
-    # sortkey network + gathers — cheaper than the composite's 2-operand
-    # network, so delegate to the plain pairs path instead
-    gather_cfg = _configs.get_config(32, True).use_gather_pass
-    if not gather_cfg and begin_bit == 0 and eb == total == 32 and \
+    if begin_bit == 0 and eb == total == 32 and \
             algorithm in ("auto", "msd", "lsd"):
         tw = _argsort_twiddle_impl(keys, descending)
         out = sort_planes(

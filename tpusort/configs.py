@@ -41,16 +41,8 @@ class SortConfig:
     # --- adaptive skew tier (equi-depth splitter engine) ---
     skew_tier: Optional[bool] = None      # None = engine's auto gate
     skew_sample_log2: Optional[int] = None  # splitter sample size (None = auto)
-    # --- stable pairs: gather-apply passes (1-operand sortkey network +
-    #     take_along_axis emit) instead of multi-operand networks; flip on
-    #     per-platform once the on-chip pass_gather probe beats pass_stable ---
-    use_gather_pass: bool = False
-    # --- keys-only: u16-subtile sortkey passes (compact 16-bit network,
-    #     gather emit; leaf loses its merge entry).  Flip on once the
-    #     on-chip pass_u16 probe beats pass_full ---
-    use_u16_pass: bool = False
-    # tiles per partition-pass grid step (None = kernel default 4; the
-    # flat-layout gather/u16 kernels fill all 8 vreg sublanes at 8)
+    # tiles per partition-pass grid step (None = kernel default 4; big
+    # tiles run best unbatched — see DESIGN.md round-3 geometry findings)
     pass_batch: Optional[int] = None
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"

@@ -53,9 +53,10 @@ def _valid_from(
     the earlier u8 mask arrays: validity is fully determined by tiny
     per-run counts, so no per-element bytes ever touch HBM.
 
-    ``flat``: build the mask in the (nb, K) lane layout the gather kernel
-    uses.  ONE definition shared by the partition and leaf kernels so the
-    counts-chain invariant can never drift between them.
+    ``flat``: build the mask in a flat (nb, K) lane layout instead of the
+    (nb, rows, LANES) network layout.  ONE definition shared by the
+    partition and leaf kernels so the counts-chain invariant can never
+    drift between them.
     """
     if flat:
         lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
@@ -715,176 +716,3 @@ def sort_tiles(
         interpret=interpret,
     )(*shaped)
     return tuple(o.reshape(T, K) for o in out)
-
-
-def _sortkey_gather_kernel(*refs, n_data: int, pad_rows: int, k: int,
-                           src_of_key):
-    """Sort the sortkey tile 1-operand, then move each data operand with a
-    take_along_axis gather using ``src_of_key(sorted_sortkey)`` (within-tile
-    source indices, clamped).  Data refs use the FLAT (nb, K) lane layout
-    the hardware gather wants; only the sortkey rides the network layout."""
-    sk_ref = refs[0]
-    ins = refs[1 : 1 + n_data]
-    sk_out = refs[1 + n_data]
-    outs = refs[2 + n_data :]
-
-    sk = sk_ref[...]                               # (nb, rows, LANES)
-    nb, rows, _ = sk.shape
-    if pad_rows:
-        pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-        sk = jnp.concatenate([sk, pad], axis=1)
-    sk = _sort_network([sk])[0]
-    if pad_rows:
-        sk = sk[:, :rows]
-    sk_out[...] = sk
-    src = jnp.minimum(src_of_key(sk.reshape(nb, k)), k - 1)  # (nb, K) int32
-    for o, ref_in in zip(outs, ins):
-        o[...] = jnp.take_along_axis(ref_in[...], src, axis=1)
-
-
-def sort_tiles_sortkey_gather(
-    sortkey: jax.Array,
-    datas: Sequence[jax.Array],
-    src_of_key,
-    *,
-    batch: Optional[int] = None,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
-    """``sort_tiles`` variant where payload operands skip the network.
-
-    The sortkey (T, K) uint32 is tile-sorted with the 1-operand bitonic
-    network; each data operand is then moved by an in-kernel gather with
-    source indices derived from the *sorted* sortkey via ``src_of_key``
-    (a traced elementwise fn (nb, K) uint32 -> int32 within-tile indices —
-    the caller packs source positions into the sortkey's low field).
-    Replaces the ~2x-per-extra-operand network cost with gathers; viability
-    is hardware-gated (stage_probe ``gather_wide`` / ``leaf_gather``).
-
-    Returns (sorted sortkey, gathered data operands).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    sk = jnp.asarray(sortkey)
-    ops = [jnp.asarray(o) for o in datas]
-    T, K = sk.shape
-    if K % LANES:
-        raise ValueError(f"tile size {K} must be a multiple of {LANES}")
-    rows = K // LANES
-    pad_rows = (1 << (K - 1).bit_length()) // LANES - rows
-    n_data = len(ops)
-    nb = _pick_batch(T, K, 1 + n_data, batch)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _sortkey_gather_kernel, n_data=n_data, pad_rows=pad_rows, k=K,
-            src_of_key=src_of_key,
-        ),
-        out_shape=[jax.ShapeDtypeStruct((T, rows, LANES), jnp.uint32)]
-        + [jax.ShapeDtypeStruct((T, K), o.dtype) for o in ops],
-        grid=(T // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ]
-        + [
-            pl.BlockSpec((nb, K), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in ops
-        ],
-        out_specs=[
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ]
-        + [
-            pl.BlockSpec((nb, K), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in ops
-        ],
-        interpret=interpret,
-    )(sk.reshape(T, rows, LANES), *ops)
-    return out[0].reshape(T, K), tuple(out[1:])
-
-
-def _multikey_gather_kernel(*refs, n_keys: int, n_data: int, pad_rows: int,
-                            k: int):
-    """Lexicographic multi-key tile sort where data operands skip the
-    network: sort (key_0, ..., key_{n-1}, iota) with the position iota as
-    the stability tiebreak AND the gather source, then move each data
-    operand with one take_along_axis."""
-    kin = refs[:n_keys]
-    din = refs[n_keys : n_keys + n_data]
-    outs = refs[n_keys + n_data :]
-
-    keys = [r[...] for r in kin]                   # (nb, rows, LANES)
-    nb, rows, _ = keys[0].shape
-    shape = (nb, rows, LANES)
-    idx = (
-        jax.lax.broadcasted_iota(jnp.int32, shape, 1) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    ).astype(jnp.uint32)
-    if pad_rows:
-        pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-        keys = [jnp.concatenate([a, pad], axis=1) for a in keys]
-        idx = jnp.concatenate([idx, pad], axis=1)
-    sorted_all = _sort_network(keys + [idx], num_keys=n_keys + 1)
-    sidx = sorted_all[n_keys]
-    if pad_rows:
-        sidx = sidx[:, :rows]
-    src = jnp.minimum(sidx.astype(jnp.int32).reshape(nb, k), k - 1)
-    for o, d in zip(outs, din):
-        o[...] = jnp.take_along_axis(d[...], src, axis=1)
-
-
-def sort_tiles_multikey_gather(
-    keys: Sequence[jax.Array],
-    datas: Sequence[jax.Array],
-    *,
-    batch: Optional[int] = None,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, ...]:
-    """Stable lexicographic tile sort of ``datas`` by ``keys``.
-
-    keys/datas: (T, K) uint32.  Keys are sort-only (consumed, garbage slots
-    pre-masked to 0xFFFFFFFF by the caller so they sort last); each data
-    operand is moved by an in-kernel gather on the sorted position iota
-    (the stability tiebreak), not by riding the network.  The Pallas
-    replacement for the wide-remainder leaf's multi-key ``lax.sort``
-    (64-bit keys / few consumed bits).  Returns the gathered data operands.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    kin = [jnp.asarray(o) for o in keys]
-    ops = [jnp.asarray(o) for o in datas]
-    T, K = kin[0].shape
-    if K % LANES:
-        raise ValueError(f"tile size {K} must be a multiple of {LANES}")
-    rows = K // LANES
-    pad_rows = (1 << (K - 1).bit_length()) // LANES - rows
-    n_keys, n_data = len(kin), len(ops)
-    nb = _pick_batch(T, K, n_keys + 1 + n_data, batch)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _multikey_gather_kernel, n_keys=n_keys, n_data=n_data,
-            pad_rows=pad_rows, k=K,
-        ),
-        out_shape=[jax.ShapeDtypeStruct((T, K), o.dtype) for o in ops],
-        grid=(T // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in kin
-        ]
-        + [
-            pl.BlockSpec((nb, K), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in ops
-        ],
-        out_specs=[
-            pl.BlockSpec((nb, K), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in ops
-        ],
-        interpret=interpret,
-    )(*[o.reshape(T, rows, LANES) for o in kin], *ops)
-    return tuple(out)

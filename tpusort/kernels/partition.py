@@ -94,7 +94,6 @@ def _emit_runs(
     r: int,
     s: int,
     exchanged: bool = False,
-    scratch_prewritten: bool = False,
 ):
     """Slice R runs per tile out of the sorted scratch into padded outputs,
     and write the counts row (the validity carrier — downstream validity is
@@ -103,10 +102,9 @@ def _emit_runs(
     exchange); otherwise (nb, r*srows, LANES) tile-major."""
     rows = sorted_arrays[0].shape[1]
     srows = s // LANES
-    if not scratch_prewritten:
-        for sc, a in zip(scratch, sorted_arrays):
-            for b in range(nb):
-                sc[b, :rows] = a[b]
+    for sc, a in zip(scratch, sorted_arrays):
+        for b in range(nb):
+            sc[b, :rows] = a[b]
     for b in range(nb):
         for d in range(r):
             st = starts[b][d]
@@ -137,7 +135,6 @@ def _fused_kernel(
     exchanged: bool,
     digit_input: bool = False,
     splitter_input: bool = False,
-    starts_rows: bool = False,
 ):
     # refs layout:
     #   ins:  [digit (if digit_input)], planes x n_planes,
@@ -282,48 +279,18 @@ def _fused_kernel(
             sorted_digit = _extract_bits_arrays(
                 sorted_all[:n_planes], lo_bit, width
             )
-            rows_k = sorted_all[0].shape[1]
-            if starts_rows:
-                # row-hierarchical starts: the digit sequence is monotone
-                # in a key-sorted tile, so the run boundary for digit d is
-                # located by (a) a reduce over the (rows,) row-LAST digits
-                # (1 vreg instead of the whole tile) and (b) a residual
-                # count inside the single boundary row, read from scratch
-                # at a dynamic row index.  ~5-10x less vector work than the
-                # full-tile compare-reduces at r=32; enables r=128.
-                for sc, a in zip(scratch, sorted_all):
-                    for b in range(nb):
-                        sc[b, :rows_k] = a[b]
             for b in range(nb):
                 st = [jnp.int32(0)]
-                if starts_rows:
-                    rl = sorted_digit[b][:, LANES - 1 : LANES]  # (rows, 1)
-                    for d in range(1, r):
-                        rb_ = jnp.sum(
-                            (rl < jnp.uint32(d)).astype(jnp.int32))
-                        # rb_ == rows (all rows below d) clamps to the last
-                        # row, whose residual is then a full 128 -> start=K
-                        rb_c = jnp.minimum(rb_, rows_k - 1)
-                        row_planes = [
-                            scratch[p].at[b][pl.ds(rb_c, 1), :]
-                            for p in range(n_planes)
-                        ]
-                        dr = _extract_bits_arrays(
-                            [rp[...] for rp in row_planes], lo_bit, width)
-                        resid = jnp.sum(
-                            (dr < jnp.uint32(d)).astype(jnp.int32))
-                        st.append(rb_c * LANES + resid)
-                else:
-                    # starts from the sorted tile: garbage (digit == r-1
-                    # region) only affects the top run, whose count is
-                    # clamped by n_valid
-                    for d in range(1, r):
-                        st.append(
-                            jnp.sum(
-                                (sorted_digit[b] < jnp.uint32(d)).astype(
-                                    jnp.int32)
-                            )
+                # starts from the sorted tile: garbage (digit == r-1
+                # region) only affects the top run, whose count is
+                # clamped by n_valid
+                for d in range(1, r):
+                    st.append(
+                        jnp.sum(
+                            (sorted_digit[b] < jnp.uint32(d)).astype(
+                                jnp.int32)
                         )
+                    )
                 cn = [st[d + 1] - st[d] for d in range(r - 1)]
                 cn.append(n_valid[b] - st[r - 1])
                 starts.append(st)
@@ -331,7 +298,6 @@ def _fused_kernel(
         _emit_runs(
             sorted_all, starts, counts, outs, counts_ref,
             scratch, nb=nb, r=r, s=s, exchanged=exchanged,
-            scratch_prewritten=bool(starts_rows and not splitter_input),
         )
         return
 
@@ -365,185 +331,6 @@ def _fused_kernel(
     )
 
 
-def _gather_kernel(
-    *refs,
-    n_planes: int,
-    n_values: int,
-    nb: int,
-    r: int,
-    s: int,
-    k: int,
-    lo_bit: int,
-    width: int,
-    idx_bits: int,
-    n: Optional[int],
-    q_in: Optional[int],
-    exchanged: bool,
-):
-    """Stable pass with a 1-operand sortkey network + gather apply.
-
-    The multi-operand cost of the general path (every payload operand rides
-    the compare-exchange network, ~2x per extra operand once batched) is
-    replaced by: sort ONLY the (digit, idx) sortkey, then move each operand
-    with two ``take_along_axis`` gathers — one composing the padded-run
-    window indices with the sorted source indices, one applying the composed
-    permutation to the data.  The emit is fused into the apply: the gather
-    index for padded slot (d, j) is ``sorted_idx[start_d + j]``, so the
-    sorted tile is never materialized and no scratch/dynamic slices are
-    needed.  Data operands use a FLAT (nb, K) lane layout (the layout the
-    hardware gather wants); only the sortkey is relaid to (nb, rows, 128)
-    for the network.
-
-    Viability is hardware-gated: Mosaic must lower wide-row lane gathers at
-    speed (benchmarks/stage_probe.py ``gather_wide`` / ``pass_gather``).
-    """
-    n_data = n_planes + n_values
-    ins = refs[:n_data]
-    pos = n_data
-    cin_ref = refs[pos] if q_in is not None else None
-    pos += 1 if q_in is not None else 0
-    outs = refs[pos : pos + n_data]
-    counts_ref = refs[pos + n_data]
-
-    rows = k // LANES
-    valid = _valid_from(cin_ref, q_in or 0, nb, rows, k, n, flat=True)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-
-    planes = [ins[i][...] for i in range(n_planes)]
-    digit = _extract_bits_arrays(planes, lo_bit, width)
-    idx = lin.astype(jnp.uint32) & jnp.uint32((1 << idx_bits) - 1)
-    d_or_s = jnp.where(valid, digit, jnp.uint32(r))
-    sortkey = (d_or_s << jnp.uint32(idx_bits)) | idx
-
-    sk3 = sortkey.reshape(nb, rows, LANES)
-    sk3 = _sort_network([sk3])[0]
-    sorted_sk = sk3.reshape(nb, k)
-    sorted_digit = sorted_sk >> jnp.uint32(idx_bits)    # r == garbage
-    sorted_idx = (sorted_sk & jnp.uint32((1 << idx_bits) - 1)).astype(
-        jnp.int32
-    )
-
-    win_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    win_rows = []
-    for b in range(nb):
-        st = [jnp.int32(0)]
-        for d in range(1, r + 1):
-            st.append(
-                jnp.sum(
-                    (sorted_digit[b] < jnp.uint32(d)).astype(jnp.int32)
-                )
-            )
-        for d in range(r):
-            counts_ref[b, 0, d] = st[d + 1] - st[d]
-        win_rows.append(
-            jnp.concatenate([st[d] + win_iota for d in range(r)], axis=1)
-        )
-    win = jnp.minimum(jnp.concatenate(win_rows, axis=0), k - 1)  # (nb, r*s)
-    src = jnp.take_along_axis(sorted_idx, win, axis=1)           # composed
-
-    for o, ref_in in zip(outs, ins):
-        padded = jnp.take_along_axis(ref_in[...], src, axis=1)
-        if exchanged:
-            # out block is the FLAT (1, r, nb, s) view of the exchanged
-            # (n_seg, r, t_seg, s) layout — same HBM bytes as the 5-D
-            # (..., srows, LANES) layout, no relayout needed
-            for d in range(r):
-                o[0, d] = padded[:, d * s : (d + 1) * s]
-        else:
-            o[...] = padded
-
-
-def _pass_fused_gather(
-    ops: Sequence[jax.Array],
-    counts_in: Optional[jax.Array],
-    *,
-    n_planes: int,
-    n_values: int,
-    nb: int,
-    r: int,
-    s: int,
-    k: int,
-    lo_bit: int,
-    width: int,
-    idx_bits: int,
-    n: Optional[int],
-    q_in: Optional[int],
-    t_seg: Optional[int],
-    interpret: bool,
-) -> Tuple[List[jax.Array], jax.Array]:
-    """pallas_call plumbing for the gather-apply pass (flat lane layout)."""
-    # max sortkey is (garbage digit r << idx_bits) | (K-1); reject wraps
-    if ((r + 1) << idx_bits) > (1 << 32):
-        raise ValueError("sortkey overflow: (r+1) * K must fit in 32 bits")
-    T = ops[0].shape[0]
-    n_data = n_planes + n_values
-    inputs = list(ops)                                  # (T, K) flat
-    in_specs = [
-        pl.BlockSpec((nb, k), lambda t: (t, 0), memory_space=pltpu.VMEM)
-        for _ in range(n_data)
-    ]
-    if counts_in is not None:
-        n_sub = k // q_in
-        inputs.append(
-            jnp.asarray(counts_in).astype(jnp.int32).reshape(T, 1, n_sub)
-        )
-        in_specs.append(
-            pl.BlockSpec((nb, 1, n_sub), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM)
-        )
-    if t_seg is None:
-        data_shape = [
-            jax.ShapeDtypeStruct((T, r * s), jnp.uint32)
-            for _ in range(n_data)
-        ]
-        data_spec = pl.BlockSpec((nb, r * s), lambda t: (t, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        n_seg = T // t_seg
-        tb = t_seg // nb
-        data_shape = [
-            jax.ShapeDtypeStruct((n_seg, r, t_seg, s), jnp.uint32)
-            for _ in range(n_data)
-        ]
-        data_spec = pl.BlockSpec(
-            (1, r, nb, s),
-            lambda t: (t // tb, 0, t % tb, 0),
-            memory_space=pltpu.VMEM,
-        )
-    out = pl.pallas_call(
-        functools.partial(
-            _gather_kernel,
-            n_planes=n_planes,
-            n_values=n_values,
-            nb=nb,
-            r=r,
-            s=s,
-            k=k,
-            lo_bit=lo_bit,
-            width=width,
-            idx_bits=idx_bits,
-            n=n,
-            q_in=q_in,
-            exchanged=(t_seg is not None),
-        ),
-        out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
-        grid=(T // nb,),
-        in_specs=in_specs,
-        out_specs=[data_spec] * n_data
-        + [
-            pl.BlockSpec((nb, 1, r), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        interpret=interpret,
-    )(*inputs)
-    if t_seg is None:
-        data = list(out[:n_data])                       # already (T, r*s)
-    else:
-        data = [o.reshape(-1) for o in out[:n_data]]
-    counts = out[n_data][:, 0, :]
-    return data, counts
-
-
 def partition_pass_fused(
     planes: Sequence[jax.Array],
     values: Sequence[jax.Array],
@@ -562,8 +349,6 @@ def partition_pass_fused(
     splitters: Optional[jax.Array] = None,
     splitter_fracs: Optional[jax.Array] = None,
     batch: Optional[int] = None,
-    starts_rows: bool = False,
-    gather_apply: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """One fused MSD partition pass over (T, K) tiles.
@@ -609,18 +394,6 @@ def partition_pass_fused(
     while T % nb or (t_seg is not None and t_seg % nb):
         nb //= 2
     nb = max(nb, 1)
-
-    if gather_apply:
-        if digit is not None or splitters is not None or starts_rows:
-            raise ValueError(
-                "gather_apply supports only the plain stable radix path"
-            )
-        return _pass_fused_gather(
-            ops, counts_in, n_planes=n_planes, n_values=n_values, nb=nb,
-            r=r, s=s, k=K, lo_bit=lo_bit, width=width, idx_bits=idx_bits,
-            n=n, q_in=(q_in if counts_in is not None else None),
-            t_seg=t_seg, interpret=interpret,
-        )
 
     shaped = [o.reshape(T, rows, LANES) for o in ops]
     inputs = list(shaped)
@@ -701,7 +474,6 @@ def partition_pass_fused(
             exchanged=(t_seg is not None),
             digit_input=(digit is not None),
             splitter_input=(splitters is not None),
-            starts_rows=starts_rows,
         ),
         out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
         grid=(T // nb,),
@@ -819,227 +591,3 @@ def partition_tiles(
         *shaped,
     )
     return [o.reshape(T, r * s) for o in out]
-
-
-def _u16_gather_kernel(
-    *refs,
-    n_planes: int,
-    n_values: int,
-    nb: int,
-    r: int,
-    s: int,
-    k: int,
-    c: int,
-    lo_bit: int,
-    width: int,
-    n: Optional[int],
-    q_in: Optional[int],
-    exchanged: bool,
-):
-    """Stable pass via a compact uint16 (digit|idx) sortkey sorted per
-    SUBTILE, with gather apply.
-
-    The u32 network's per-element stage cost is the pass floor; 16-bit
-    lanes pack 2x on the VPU and a subtile of C elements needs far fewer
-    stages than the K-element tile (C=2048: 66 vs 105), so if Mosaic runs
-    u16 compare-exchange at rate (stage_probe ``network --dtype u16``)
-    this pass undercuts the u32 floor ~2-3x on network work.  Every pass
-    is a full subtile sort (no merge entry — runs from the previous pass
-    are key-sorted, not sortkey-sorted); the emit gathers each output
-    window by composing (subtile select via cumulative counts) with the
-    sorted within-subtile sources, all elementwise.
-
-    Constraint: (r+1) * C <= 65536 (garbage digit r + idx must fit u16),
-    so r=16 pairs with C=2048 and r=32 with C=1024.
-    """
-    n_data = n_planes + n_values
-    ins = refs[:n_data]
-    pos = n_data
-    cin_ref = refs[pos] if q_in is not None else None
-    pos += 1 if q_in is not None else 0
-    outs = refs[pos : pos + n_data]
-    counts_ref = refs[pos + n_data]
-
-    rows = k // LANES
-    v_sub = k // c
-    idxb = c.bit_length() - 1
-    valid = _valid_from(cin_ref, q_in or 0, nb, rows, k, n, flat=True)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-
-    planes = [ins[i][...] for i in range(n_planes)]
-    digit = _extract_bits_arrays(planes, lo_bit, width)
-    d_or_s = jnp.where(valid, digit, jnp.uint32(r)).astype(jnp.uint16)
-    idx16 = (lin % c).astype(jnp.uint16)
-    sk = (d_or_s << jnp.uint16(idxb)) | idx16                 # (nb, k)
-
-    sk3 = sk.reshape(nb, v_sub, c // LANES, LANES)
-    sk3 = _sort_network([sk3])[0]
-    ssk = sk3.reshape(nb, k)
-    # absolute source index of each subtile-sorted slot
-    abs_src = (lin // c) * c + (ssk & jnp.uint16(c - 1)).astype(jnp.int32)
-
-    # per-(subtile, digit) starts & cumulative tile counts, reduced in the
-    # network's own (nb, v_sub, rows, LANES) layout (no extra relayout)
-    sdig4 = (sk3 >> jnp.uint16(idxb)).astype(jnp.int32)
-    lt = []                                   # lt[d]: (nb, v_sub) starts
-    for d in range(r + 1):
-        lt.append(jnp.sum((sdig4 < d).astype(jnp.int32), axis=(2, 3)))
-    cnt = [lt[d + 1] - lt[d] for d in range(r)]
-    # inclusive cumulative counts over subtiles, as per-v (nb, 1) columns
-    # (static accumulation — lax.cumsum may not lower in Mosaic)
-    ccum = []
-    for d in range(r):
-        acc = None
-        cols = []
-        for v in range(v_sub):
-            col = cnt[d][:, v : v + 1]
-            acc = col if acc is None else acc + col
-            cols.append(acc)
-        ccum.append(cols)
-
-    win_iota = jax.lax.broadcasted_iota(jnp.int32, (nb, s), 1)
-    src_rows = []
-    for d in range(r):
-        # subtile holding padded slot p, via the cumulative counts
-        sub = jnp.zeros((nb, s), jnp.int32)
-        for v in range(v_sub):
-            sub += (win_iota >= ccum[d][v]).astype(jnp.int32)
-        subc = jnp.minimum(sub, v_sub - 1)
-        prev = jnp.zeros((nb, s), jnp.int32)
-        stv = jnp.zeros((nb, s), jnp.int32)
-        for v in range(v_sub):
-            sel = subc == v
-            if v:
-                prev = jnp.where(sel, ccum[d][v - 1], prev)
-            stv = jnp.where(sel, lt[d][:, v : v + 1], stv)
-        # position in subtile-sorted order, clamped into the subtile
-        pos_sorted = subc * c + jnp.minimum(
-            stv + (win_iota - prev), c - 1
-        )
-        src_rows.append(pos_sorted)
-        for b in range(nb):
-            counts_ref[b, 0, d] = ccum[d][v_sub - 1][b, 0]
-    win = jnp.concatenate(src_rows, axis=1)                   # (nb, r*s)
-    src = jnp.take_along_axis(abs_src, win, axis=1)
-
-    for o, ref_in in zip(outs, ins):
-        padded = jnp.take_along_axis(ref_in[...], src, axis=1)
-        if exchanged:
-            for d in range(r):
-                o[0, d] = padded[:, d * s : (d + 1) * s]
-        else:
-            o[...] = padded
-
-
-def partition_pass_u16(
-    planes: Sequence[jax.Array],
-    values: Sequence[jax.Array],
-    counts_in: Optional[jax.Array],
-    *,
-    r: int,
-    s: int,
-    lo_bit: int,
-    width: int,
-    c: int = 0,
-    q_in: Optional[int] = None,
-    n: Optional[int] = None,
-    t_seg: Optional[int] = None,
-    batch: int = 4,
-    interpret: Optional[bool] = None,
-) -> Tuple[List[jax.Array], jax.Array]:
-    """Stable MSD pass with the u16-subtile sortkey + gather apply.
-
-    Same contract as ``partition_pass_fused`` (padded (T,R,S) output or
-    fused exchange via ``t_seg``; counts row per tile); experimental —
-    wired into the engine only after on-chip probes confirm the u16
-    network rate and gather throughput (stage_probe ``pass_u16``).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    ops = [jnp.asarray(o) for o in list(planes) + list(values)]
-    T, K = ops[0].shape
-    if not c:
-        c = 65536 // (r + 1)
-        c = 1 << (c.bit_length() - 1)         # largest pow2 subtile
-        c = min(c, K)
-    if (K % LANES or (K & (K - 1)) or s % LANES or K % c
-            or (c & (c - 1)) or c % LANES):
-        raise ValueError(f"bad tile geometry K={K} S={s} C={c}")
-    if (r + 1) * c > 65536:
-        raise ValueError(f"(r+1)*C={(r + 1) * c} exceeds the u16 sortkey")
-    if counts_in is not None:
-        if q_in is None or q_in % LANES or K % q_in:
-            raise ValueError(f"bad validity granularity q_in={q_in}")
-    n_planes, n_values = len(planes), len(values)
-    n_data = n_planes + n_values
-
-    nb = batch
-    while T % nb or (t_seg is not None and t_seg % nb):
-        nb //= 2
-    nb = max(nb, 1)
-
-    inputs = list(ops)
-    in_specs = [
-        pl.BlockSpec((nb, K), lambda t: (t, 0), memory_space=pltpu.VMEM)
-        for _ in range(n_data)
-    ]
-    if counts_in is not None:
-        n_sub = K // q_in
-        inputs.append(
-            jnp.asarray(counts_in).astype(jnp.int32).reshape(T, 1, n_sub)
-        )
-        in_specs.append(
-            pl.BlockSpec((nb, 1, n_sub), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM)
-        )
-    if t_seg is None:
-        data_shape = [
-            jax.ShapeDtypeStruct((T, r * s), jnp.uint32)
-            for _ in range(n_data)
-        ]
-        data_spec = pl.BlockSpec((nb, r * s), lambda t: (t, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        n_seg = T // t_seg
-        tb = t_seg // nb
-        data_shape = [
-            jax.ShapeDtypeStruct((n_seg, r, t_seg, s), jnp.uint32)
-            for _ in range(n_data)
-        ]
-        data_spec = pl.BlockSpec(
-            (1, r, nb, s),
-            lambda t: (t // tb, 0, t % tb, 0),
-            memory_space=pltpu.VMEM,
-        )
-    out = pl.pallas_call(
-        functools.partial(
-            _u16_gather_kernel,
-            n_planes=n_planes,
-            n_values=n_values,
-            nb=nb,
-            r=r,
-            s=s,
-            k=K,
-            c=c,
-            lo_bit=lo_bit,
-            width=width,
-            n=n,
-            q_in=(q_in if counts_in is not None else None),
-            exchanged=(t_seg is not None),
-        ),
-        out_shape=data_shape + [jax.ShapeDtypeStruct((T, 1, r), jnp.int32)],
-        grid=(T // nb,),
-        in_specs=in_specs,
-        out_specs=[data_spec] * n_data
-        + [
-            pl.BlockSpec((nb, 1, r), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        interpret=interpret,
-    )(*inputs)
-    if t_seg is None:
-        data = list(out[:n_data])
-    else:
-        data = [o.reshape(-1) for o in out[:n_data]]
-    counts = out[n_data][:, 0, :]
-    return data, counts

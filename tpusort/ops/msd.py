@@ -373,7 +373,6 @@ def _leaf_sort(
     valid: jax.Array,
     plan: MsdPlan,
     use_pallas: bool,
-    gather: bool = False,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Sort each final segment by the remaining key bits, stably.
 
@@ -441,32 +440,9 @@ def _leaf_sort(
             o.reshape(nseg // pack, pack * seg) for o in carried
         ]
         if use_pallas:
-            if gather and len(to_sort) > 1:
-                # gather-apply leaf: the (segid|rem|idx) sortkey's own
-                # fields give each sorted slot's within-tile source
-                # (segid*seg + idx), so payload operands skip the network
-                from tpusort.kernels.bitonic import sort_tiles_sortkey_gather
+            from tpusort.kernels.bitonic import sort_tiles
 
-                idx_mask = jnp.uint32((1 << idx_bits) - 1)
-                shift_seg = plan.rem_width + idx_bits
-
-                def _src(sk):
-                    src = (sk & idx_mask).astype(jnp.int32)
-                    if segid_bits:
-                        src = src + (
-                            (sk >> jnp.uint32(shift_seg)).astype(jnp.int32)
-                            * seg
-                        )
-                    return src
-
-                sk_sorted, datas = sort_tiles_sortkey_gather(
-                    to_sort[0], to_sort[1:], _src
-                )
-                sorted_all = [sk_sorted] + list(datas)
-            else:
-                from tpusort.kernels.bitonic import sort_tiles
-
-                sorted_all = list(sort_tiles(to_sort))
+            sorted_all = list(sort_tiles(to_sort))
         else:
             sorted_all = _sort_tiles_xla(to_sort)
         sorted_key = sorted_all[0].reshape(nseg, seg)
@@ -489,25 +465,13 @@ def _leaf_sort(
             32 * len(planes),
         )
         keys = [jnp.where(valid, mp, jnp.uint32(0xFFFFFFFF)) for mp in masked]
-        if gather and use_pallas and seg % 128 == 0:
-            # Pallas multikey leaf: data operands skip the network (gathered
-            # by the sorted position-iota tiebreak) — replaces the XLA
-            # lax.sort that previously served this branch.  Garbage ordering
-            # is safe without an idx sentinel: pass 0 always consumes top
-            # key bits, so a valid element's top MASKED plane is strictly
-            # below 0xFFFFFFFF and garbage (all-ones on every key plane)
-            # sorts after every valid element.
-            from tpusort.kernels.bitonic import sort_tiles_multikey_gather
-
-            sorted_ops = list(sort_tiles_multikey_gather(keys, tiled))
-        else:
-            keys.append(jnp.where(valid, idx, jnp.uint32(0xFFFFFFFF)))
-            sorted_ops = list(
-                jax.lax.sort(
-                    keys + tiled, dimension=1, num_keys=len(keys),
-                    is_stable=False
-                )
-            )[len(keys):]
+        keys.append(jnp.where(valid, idx, jnp.uint32(0xFFFFFFFF)))
+        sorted_ops = list(
+            jax.lax.sort(
+                keys + tiled, dimension=1, num_keys=len(keys),
+                is_stable=False
+            )
+        )[len(keys):]
     return [o.reshape(-1) for o in sorted_ops], seg_counts
 
 
@@ -623,36 +587,17 @@ def sort_twiddled_msd(
         use_pallas = jax.default_backend() == "tpu"
 
     nplanes = len(planes)
-    # gather-apply passes (configs.SortConfig.use_gather_pass): stable
-    # multi-operand sorts ride a 1-operand sortkey network + in-kernel
-    # take_along_axis emits instead of multi-operand networks / the
-    # composite-key trick.  Stable natively, so the composite branch and
-    # the raw path are both skipped; the packed leaf (a full stable sort)
-    # composes with the stable-ordered runs these passes emit.
-    gather_pass = (
-        use_pallas
-        and stable
-        and bool(values)
-        and config is not None
-        and config.use_gather_pass
-    )
-    # keys-only u16-subtile passes (configs.SortConfig.use_u16_pass): a
-    # compact 16-bit (digit|idx) sortkey sorted per subtile + gather emit.
-    # Runs emerge in stable input order (not key-sorted), so the raw leaf
-    # enters with sorted_run=None (full sort, no merge entry).
-    u16_pass = (
-        use_pallas
-        and not values
-        and begin_bit == 0
-        and end_bit == total_bits == 32 * nplanes
-        and config is not None
-        and config.use_u16_pass
-    )
+    # NOTE (round-3 on-chip verdict): the gather-apply and u16-subtile pass
+    # variants were DELETED.  Mosaic lowers take_along_axis only within one
+    # vreg (lane gathers over a 128 window, ~20 Gelem/s); the cross-vreg
+    # wide-row gathers those kernels needed ("Multiple source vregs along
+    # gather dimension") and sublane gathers do not lower at all, and the
+    # 16-bit network cannot lower either (no u16 roll).  Payload operands
+    # therefore ride the compare-exchange network (see DESIGN.md).
     if (
         stable
         and values
         and use_pallas
-        and not gather_pass
         and nplanes == 1
         and begin_bit == 0
         and end_bit == total_bits == 32
@@ -688,12 +633,9 @@ def sort_twiddled_msd(
         and end_bit == total_bits
         and total_bits == 32 * nplanes
     )
-    # (gather_pass requires stable+values, so raw_ok is already False —
-    # the two conditions are mutually exclusive by construction)
     if use_pallas:
         ops, (ctable, q_fin), overflow = _run_passes_pallas(
             ops, nplanes, n, plan, unstable=(raw_ok and bool(values)),
-            gather=gather_pass, u16=u16_pass,
             batch=(config.pass_batch if config is not None else None),
         )
     else:
@@ -730,9 +672,7 @@ def sort_twiddled_msd(
         # known before the kernel) — no separate compaction pass
         ops = sort_tiles_counts_collapsed(
             [o.reshape(nt, tile) for o in ops], ct, q_fin, n,
-            # u16 passes emit runs in stable input order, not key-sorted —
-            # the leaf must full-sort (no merge entry)
-            sorted_run=(None if u16_pass else (last_s & -last_s)),
+            sorted_run=(last_s & -last_s),
             num_keys=nplanes,
         )
     else:
@@ -746,7 +686,6 @@ def sort_twiddled_msd(
             valid_arr = valid_u8.reshape(plan.n_segments, plan.seg) != 0
         ops, seg_counts = _leaf_sort(
             ops, planes_slice, valid_arr, plan, use_pallas,
-            gather=gather_pass,
         )
         if use_pallas:
             from tpusort.kernels.collapse import collapse_segments
@@ -812,8 +751,7 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 
 def _run_passes_pallas(
     ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
-    unstable: bool = False, gather: bool = False, u16: bool = False,
-    batch: Optional[int] = None,
+    unstable: bool = False, batch: Optional[int] = None,
 ) -> Tuple[List[jax.Array], Tuple[jax.Array, int], jax.Array]:
     """All partition passes via the fused kernel.
 
@@ -822,9 +760,7 @@ def _run_passes_pallas(
     is the exchanged, pow2-granularity subdivision of those counts.
     Returns (ops, (counts_table (m/q,), q), overflow).
     """
-    from tpusort.kernels.partition import (
-        partition_pass_fused, partition_pass_u16,
-    )
+    from tpusort.kernels.partition import partition_pass_fused
 
     ctable = None
     q = None
@@ -838,37 +774,21 @@ def _run_passes_pallas(
         # largest pow2 divisor of the previous pass's run size gives sorted
         # subruns -> merge network instead of full sort (keys-only path)
         sorted_run = None if prev_s is None else (prev_s & -prev_s)
-        if u16:
-            data, counts = partition_pass_u16(
-                tiled[:nplanes],
-                tiled[nplanes:],
-                cin,
-                q_in=q,
-                r=spec.r,
-                s=spec.s,
-                lo_bit=spec.lo_bit,
-                width=spec.width,
-                n=(n if ctable is None else None),
-                t_seg=spec.t_seg,
-                batch=(batch or 4),
-            )
-        else:
-            data, counts = partition_pass_fused(
-                tiled[:nplanes],
-                tiled[nplanes:],
-                cin,
-                q_in=q,
-                r=spec.r,
-                s=spec.s,
-                lo_bit=spec.lo_bit,
-                width=spec.width,
-                n=(n if ctable is None else None),
-                sorted_run=sorted_run,
-                unstable=unstable,
-                gather_apply=gather,
-                t_seg=spec.t_seg,
-                batch=(batch or 4),
-            )
+        data, counts = partition_pass_fused(
+            tiled[:nplanes],
+            tiled[nplanes:],
+            cin,
+            q_in=q,
+            r=spec.r,
+            s=spec.s,
+            lo_bit=spec.lo_bit,
+            width=spec.width,
+            n=(n if ctable is None else None),
+            sorted_run=sorted_run,
+            unstable=unstable,
+            t_seg=spec.t_seg,
+            batch=(batch or 4),
+        )
         prev_s = spec.s
         overflow |= jnp.any(counts > spec.s)
         # kernel wrote the digit-major exchanged layout directly (fused
