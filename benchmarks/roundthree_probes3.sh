@@ -23,6 +23,11 @@ run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 65536 --nb 
 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 65536 --nb 1
 run python benchmarks/stage_probe.py pass_full --log2n 26 --r 32 --k 16384 --nb 8
 
+# layout swap at big-tile geometry
+T=600 run python benchmarks/stage_probe.py network_swapped --log2n 26 --k 65536 --nb 1
+T=600 run python benchmarks/stage_probe.py merge_swapped --log2n 26 --k 65536 --nb 1 --merge-from 512
+T=600 run python benchmarks/stage_probe.py merge_swapped --log2n 26 --k 65536 --nb 1 --merge-from 2048
+
 # multi-operand networks at big-tile geometry (stable pairs / u64 cost)
 run python benchmarks/stage_probe.py network --log2n 26 --k 65536 --nb 1 --ops 3
 run python benchmarks/stage_probe.py network --log2n 26 --k 16384 --nb 4 --ops 3
