@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusort.kernels.bitonic import (
-    LANES, _linear_pos, _merge_sorted_runs, _sort_network, _valid_from,
+    LANES, _linear_pos, _merge_sorted_runs, _sort_network, _t_layout_ok,
+    _valid_from,
 )
 
 
@@ -175,16 +176,27 @@ def _fused_kernel(
         kplanes = [
             jnp.where(valid, p_, jnp.uint32(0xFFFFFFFF)) for p_ in planes
         ]
+        # lane-level stages are the expensive ones on v5e: run the network
+        # on the TRANSPOSED tile (same linear element order, fine index
+        # bits on the sublane axis — bitonic._bit t_layout) when the
+        # transpose is a legal vreg shape.  2.76 -> 2.32 ps/elem/stage.
+        t_lay = _t_layout_ok(rows)
+        ops_net = kplanes + values
+        if t_lay:
+            ops_net = [jnp.swapaxes(a, -1, -2) for a in ops_net]
         if sorted_run:
             # input windows are monotone slices of previously sorted tiles;
             # garbage tails rewritten to 0xFFFFFFFF keep each pow2-aligned
             # subrun sorted, so a merge network suffices (60-69 stages vs
             # 105 for the full sort)
             sorted_all = _merge_sorted_runs(
-                kplanes + values, sorted_run, num_keys=n_planes
+                ops_net, sorted_run, num_keys=n_planes, t_layout=t_lay
             )
         else:
-            sorted_all = _sort_network(kplanes + values, num_keys=n_planes)
+            sorted_all = _sort_network(ops_net, num_keys=n_planes,
+                                       t_layout=t_lay)
+        if t_lay:
+            sorted_all = [jnp.swapaxes(a, -1, -2) for a in sorted_all]
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
         ]
@@ -313,7 +325,13 @@ def _fused_kernel(
     )
     d_or_s = jnp.where(valid, digit, jnp.uint32(r))
     sortkey = (d_or_s << jnp.uint32(idx_bits)) | idx
-    sorted_all = _sort_network([sortkey] + planes + values)
+    t_lay = _t_layout_ok(rows)
+    ops_net = [sortkey] + planes + values
+    if t_lay:
+        ops_net = [jnp.swapaxes(a, -1, -2) for a in ops_net]
+    sorted_all = _sort_network(ops_net, t_layout=t_lay)
+    if t_lay:
+        sorted_all = [jnp.swapaxes(a, -1, -2) for a in sorted_all]
     sorted_digit = sorted_all[0] >> jnp.uint32(idx_bits)   # r == garbage
     starts = []
     counts = []
