@@ -80,15 +80,22 @@ def get_config(
     return SortConfig()
 
 
-# Defaults, measured on v5e (DESIGN.md): K=16384/R=32 keeps the bitonic
-# partition tiles VMEM-resident with batch 4-8; 64-bit (2-plane) keys halve
-# the operand budget but keep the same plan geometry.  CPU (test) configs
-# use small tiles and a low min_n so the full pass pipelines execute at CI
+# Defaults, measured on v5e (DESIGN.md round-3 sweeps): K=16384/R=32 keeps
+# the bitonic partition tiles VMEM-resident; the keys-only 1-operand pass
+# peaks at batch 8 (3.85 vs 3.60 Gelem/s at nb=4, 3.10 at nb=2 — the
+# transposed-layout network is latency-bound and batching covers the serial
+# stage chain).  Multi-operand shapes (pairs, u64) carry 2-4 network
+# operands, so the VMEM budget halves the batch.  CPU (test) configs use
+# small tiles and a low min_n so the full pass pipelines execute at CI
 # problem sizes through the public API.
-register_config(32, False, "tpu", SortConfig(default_algorithm="msd"))
-register_config(32, True, "tpu", SortConfig(default_algorithm="msd"))
-register_config(64, False, "tpu", SortConfig(default_algorithm="msd"))
-register_config(64, True, "tpu", SortConfig(default_algorithm="msd"))
+register_config(32, False, "tpu", SortConfig(default_algorithm="msd",
+                                             pass_batch=8))
+register_config(32, True, "tpu", SortConfig(default_algorithm="msd",
+                                            pass_batch=4))
+register_config(64, False, "tpu", SortConfig(default_algorithm="msd",
+                                             pass_batch=4))
+register_config(64, True, "tpu", SortConfig(default_algorithm="msd",
+                                            pass_batch=4))
 _CPU = SortConfig(tile_elems=2048, radix=16, s1=256, min_n=4096,
                   small_n_threshold=2048)
 for _bits in (32, 64):

@@ -260,7 +260,8 @@ def merge_staged_factor(k_real: int) -> int:
     return 0
 
 
-def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1):
+def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
+                             t_layout: bool = False):
     """Sort tiles of K = f*2^a elements (f in {3,5}; sorted ``run_in``
     subruns) without paying the full pow2-padding up front.
 
@@ -274,82 +275,131 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1):
     10240-tiles: ~63.4 vs 105 padded to 16384.
     """
     shape = arrays[0].shape
-    rows, lanes = shape[-2], shape[-1]
+    if t_layout:
+        rows, lanes = shape[-1], shape[-2]   # transposed tile (nb, 128, R)
+        blk_axis = len(shape) - 1
+    else:
+        rows, lanes = shape[-2], shape[-1]
+        blk_axis = len(shape) - 2
     k_total = rows * lanes
     f = merge_staged_factor(k_total)
     blk = k_total // f
     a = blk.bit_length() - 1
-    brows = blk // lanes
+    brows = blk // LANES            # block extent along the row axis
     nb = shape[0]
     k0 = run_in.bit_length() - 1
 
+    def _blk_slice(x, lo, hi):
+        if t_layout:
+            return x[:, :, lo:hi]
+        return x[:, lo:hi]
+
     if run_in > 1:
-        odd = _bit(shape, k0) == 1
+        odd = _bit(shape, k0, t_layout) == 1
         arrays = [
-            jnp.where(odd, _reverse_within(x, run_in), x) for x in arrays
+            jnp.where(odd, _reverse_within(x, run_in, t_layout), x)
+            for x in arrays
         ]
     # phases k0..a-1 on the real tile: 2^a blocks end alternating asc/desc
     for k in range(k0, a):
         for j in range(k, -1, -1):
-            arrays = _compare_exchange(arrays, j, k, num_keys)
+            arrays = _compare_exchange(arrays, j, k, num_keys, t_layout)
     # merge block pairs: phase a over the first (f-1) blocks — each
     # (asc, desc) pair is bitonic; outputs take the direction of bit a+1
     # of their positions, re-establishing alternation at size 2^(a+1)
     npair_rows = (f - 1) * brows
-    front = [x[:, :npair_rows] for x in arrays]
-    back = [x[:, npair_rows:] for x in arrays]
+    front = [_blk_slice(x, 0, npair_rows) for x in arrays]
+    back = [_blk_slice(x, npair_rows, rows) for x in arrays]
     for j in range(a, -1, -1):
-        front = _compare_exchange(front, j, a, num_keys)
+        front = _compare_exchange(front, j, a, num_keys, t_layout)
     if f == 5:
         # phase a+1 merges the (asc 2^(a+1), desc 2^(a+1)) front into an
         # ascending 2^(a+2) run
         for j in range(a + 1, -1, -1):
-            front = _compare_exchange(front, j, a + 1, num_keys)
+            front = _compare_exchange(front, j, a + 1, num_keys, t_layout)
     # final phase over 2*pow2ceil: descending second half is
     # [0xFFFFFFFF pad | reversed last block]
     pad_rows_ = (f - 1) * brows - brows  # pad to mirror the front size
+    pad_shape = (
+        (nb, LANES, pad_rows_) if t_layout else (nb, pad_rows_, LANES)
+    )
     pad = []
     for i in range(len(arrays)):
         if i < num_keys:
-            pad.append(
-                jnp.full((nb, pad_rows_, LANES), 0xFFFFFFFF, jnp.uint32)
-            )
+            pad.append(jnp.full(pad_shape, 0xFFFFFFFF, jnp.uint32))
         else:
-            pad.append(jnp.zeros((nb, pad_rows_, LANES), arrays[i].dtype))
+            pad.append(jnp.zeros(pad_shape, arrays[i].dtype))
     full = [
-        jnp.concatenate([fr, p, _reverse_within(b, blk)], axis=1)
+        jnp.concatenate(
+            [fr, p, _reverse_within(b, blk, t_layout)], axis=blk_axis
+        )
         for fr, p, b in zip(front, pad, back)
     ]
     k_fin = a + (f - 1).bit_length() - 1  # f=3 -> a+1, f=5 -> a+2
     for j in range(k_fin, -1, -1):
-        full = _compare_exchange(full, j, k_fin, num_keys)
-    return [x[:, : f * brows] for x in full]
+        full = _compare_exchange(full, j, k_fin, num_keys, t_layout)
+    return [_blk_slice(x, 0, f * brows) for x in full]
 
 
 # backward-compatible name
 _merge_sorted_runs_3pow2 = _merge_sorted_runs_fpow2
 
 
+def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
+    """Shared leaf network driver: staged f*2^a merge when the tile factors
+    as f*2^a with matching sorted runs, else the (virtually padded) bitonic
+    sort/merge — in the transposed stage layout whenever the transpose is a
+    legal vreg shape (fine index bits on the cheap sublane axis; see
+    :func:`_bit`).  ``arrays`` are (nb, rows, LANES); keys already carry
+    the 0xFFFFFFFF garbage sentinel.  Returns (nb, rows, LANES) sorted."""
+    nb, rows, _ = arrays[0].shape
+    k_real = rows * LANES
+    f = merge_staged_factor(k_real)
+    staged = bool(
+        pad_rows and sorted_run and f and (k_real // f) % sorted_run == 0
+    )
+    if staged:
+        # staged t-layout needs block slice boundaries on 128-lane
+        # multiples of the transposed tile: blk extent (blk/128 rows)
+        # must itself be a multiple of 128 rows
+        t_lay = rows % LANES == 0 and ((k_real // f) // LANES) % LANES == 0
+        if t_lay:
+            arrays = [jnp.swapaxes(x, -1, -2) for x in arrays]
+        out = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys, t_lay)
+        if t_lay:
+            out = [jnp.swapaxes(x, -1, -2) for x in out]
+        return out
+    if pad_rows:
+        padded = []
+        for i, x in enumerate(arrays):
+            if i < num_keys:
+                pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF,
+                               jnp.uint32)
+            else:
+                pad = jnp.zeros((nb, pad_rows, LANES), x.dtype)
+            padded.append(jnp.concatenate([x, pad], axis=1))
+        arrays = padded
+    p_rows = arrays[0].shape[1]
+    t_lay = _t_layout_ok(p_rows)
+    if t_lay:
+        arrays = [jnp.swapaxes(x, -1, -2) for x in arrays]
+    if sorted_run:
+        arrays = _merge_sorted_runs(arrays, sorted_run, num_keys, t_lay)
+    else:
+        arrays = _sort_network(arrays, num_keys, t_lay)
+    if t_lay:
+        arrays = [jnp.swapaxes(x, -1, -2) for x in arrays]
+    return [x[:, :rows] for x in arrays]
+
+
 def _sort_kernel(*refs, n_ops: int, pad_rows: int):
     ins, outs = refs[:n_ops], refs[n_ops:]
     arrays = [r[...] for r in ins]  # (NB, ROWS, LANES)
-    if pad_rows:
-        # virtual padding to the next power of two: pad sortkeys are the max
-        # uint32, so they sort past every real element and are never written
-        # back (only the first ROWS rows are stored)
-        nb, rows, _ = arrays[0].shape
-        pad0 = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-        padded = [jnp.concatenate([arrays[0], pad0], axis=1)]
-        for a in arrays[1:]:
-            padded.append(
-                jnp.concatenate(
-                    [a, jnp.zeros((nb, pad_rows, LANES), a.dtype)], 1
-                )
-            )
-        arrays = _sort_network(padded)
-        arrays = [a[:, :rows] for a in arrays]
-    else:
-        arrays = _sort_network(arrays)
+    # virtual padding to the next power of two: pad sortkeys are the max
+    # uint32, so they sort past every real element and are never written
+    # back (only the first ROWS rows are stored)
+    arrays = _leaf_network(arrays, pad_rows=pad_rows, sorted_run=0,
+                           num_keys=1)
     for o, a in zip(outs, arrays):
         o[...] = a
 
@@ -369,37 +419,10 @@ def _masked_sort_kernel(*refs, n_ops: int, pad_rows: int,
     valid = mask_ref[...] != 0
     for i in range(num_keys):
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
-    rows = arrays[0].shape[1]
-    k_real = rows * LANES
-    f = merge_staged_factor(k_real)
-    if (
-        pad_rows
-        and sorted_run
-        and f
-        and (k_real // f) % sorted_run == 0
-    ):
-        # K = f*2^a: staged merge avoids materializing + computing the
-        # pow2 padding for most of the network
-        arrays = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys)
-        for o, a in zip(outs, arrays):
-            o[...] = a
-        return
-    if pad_rows:
-        nb = arrays[0].shape[0]
-        padded = []
-        for i, a in enumerate(arrays):
-            if i < num_keys:
-                pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-            else:
-                pad = jnp.zeros((nb, pad_rows, LANES), a.dtype)
-            padded.append(jnp.concatenate([a, pad], axis=1))
-        arrays = padded
-    if sorted_run:
-        arrays = _merge_sorted_runs(arrays, sorted_run, num_keys)
-    else:
-        arrays = _sort_network(arrays, num_keys)
+    arrays = _leaf_network(arrays, pad_rows=pad_rows,
+                           sorted_run=sorted_run, num_keys=num_keys)
     for o, a in zip(outs, arrays):
-        o[...] = a[:, :rows]
+        o[...] = a
 
 
 def _counts_sort_kernel(*refs, n_ops: int, q: int,
@@ -416,35 +439,10 @@ def _counts_sort_kernel(*refs, n_ops: int, q: int,
     for i in range(num_keys):
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
 
-    k_real = rows * LANES
-    f = merge_staged_factor(k_real)
-    if (
-        pad_rows
-        and sorted_run
-        and f
-        and (k_real // f) % sorted_run == 0
-    ):
-        # K = f*2^a: staged merge avoids materializing + computing the
-        # pow2 padding for most of the network
-        arrays = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys)
-        for o, a in zip(outs, arrays):
-            o[...] = a
-        return
-    if pad_rows:
-        padded = []
-        for i, a in enumerate(arrays):
-            if i < num_keys:
-                pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF, jnp.uint32)
-            else:
-                pad = jnp.zeros((nb, pad_rows, LANES), a.dtype)
-            padded.append(jnp.concatenate([a, pad], axis=1))
-        arrays = padded
-    if sorted_run:
-        arrays = _merge_sorted_runs(arrays, sorted_run, num_keys)
-    else:
-        arrays = _sort_network(arrays, num_keys)
+    arrays = _leaf_network(arrays, pad_rows=pad_rows,
+                           sorted_run=sorted_run, num_keys=num_keys)
     for o, a in zip(outs, arrays):
-        o[...] = a[:, :rows]
+        o[...] = a
 
 
 def sort_tiles_counts(
@@ -521,25 +519,8 @@ def _counts_sort_collapse_kernel(
     for i in range(num_keys):
         arrays[i] = jnp.where(valid, arrays[i], jnp.uint32(0xFFFFFFFF))
 
-    k_real = rows * LANES
-    f = merge_staged_factor(k_real)
-    if pad_rows and sorted_run and f and (k_real // f) % sorted_run == 0:
-        arrays = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys)
-    else:
-        if pad_rows:
-            padded = []
-            for i, a in enumerate(arrays):
-                if i < num_keys:
-                    pad = jnp.full((nb, pad_rows, LANES), 0xFFFFFFFF,
-                                   jnp.uint32)
-                else:
-                    pad = jnp.zeros((nb, pad_rows, LANES), a.dtype)
-                padded.append(jnp.concatenate([a, pad], axis=1))
-            arrays = padded
-        if sorted_run:
-            arrays = _merge_sorted_runs(arrays, sorted_run, num_keys)
-        else:
-            arrays = _sort_network(arrays, num_keys)
+    arrays = _leaf_network(arrays, pad_rows=pad_rows,
+                           sorted_run=sorted_run, num_keys=num_keys)
 
     row0 = tbl_ref[0, 0, 0]
     p = tbl_ref[0, 0, 1]
@@ -701,6 +682,7 @@ def _pick_batch(t: int, k: int, n_ops: int, batch: Optional[int]) -> int:
         budget = 8 << 20  # bytes of VMEM for operand blocks
         per_tile = k * 4 * n_ops * 6
         nb = max(1, min(8, budget // per_tile))
+        nb = 1 << (nb.bit_length() - 1)   # pow2 so T divisibility holds
     while t % nb:
         nb //= 2
     return max(nb, 1)
