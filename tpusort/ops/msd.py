@@ -655,33 +655,18 @@ def sort_twiddled_msd(
         # part of the key, so sorting packed tiles of whole segments by the
         # raw key (garbage -> 0xFFFFFFFF) both finishes each segment and
         # compacts valid keys to the tile front in globally sorted order.
-        from tpusort.kernels.bitonic import (
-            merge_staged_factor, sort_tiles_counts_collapsed,
-        )
+        from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
 
-        # pack whole segments per leaf tile; prefer a tile shape the
-        # transposed stage layout can run (rows % 128 == 0 and either pow2
-        # or f*2^a with 128-lane-aligned blocks) — worth growing past the
-        # default 2^15 cap (2.76 -> 2.32 ps/elem/stage)
-        def _t_eligible(tile: int) -> bool:
-            rows_ = tile // 128
-            if rows_ % 128:
-                return False
-            if tile & (tile - 1) == 0:
-                return True
-            f_ = merge_staged_factor(tile)
-            return bool(f_) and ((tile // f_) // 128) % 128 == 0
-
-        pack = best_pack = 1
+        # pack whole segments per leaf tile up to 2^15 elements.  (Growing
+        # to 2^16 for a transposed-layout-eligible staged shape was tried
+        # on chip and LOST: the bigger staged tail costs more stages than
+        # the cheap-axis mapping saves — 761 vs 818 M keys/s at 2^28.)
+        pack = 1
         while (
-            pack * 2 * plan.seg <= (1 << 16)
+            pack * 2 * plan.seg <= (1 << 15)
             and plan.n_segments % (pack * 2) == 0
         ):
             pack *= 2
-            tile_ = pack * plan.seg
-            if tile_ <= (1 << 15) or _t_eligible(tile_):
-                best_pack = pack
-        pack = best_pack
         nt = plan.n_segments // pack
         tile = pack * plan.seg
         ct = ctable.reshape(nt, tile // q_fin)
