@@ -89,3 +89,20 @@ def test_reverse_sorted_flagged():
                              dtype=np.int64).astype(np.uint32))[::-1]
     assert planner.sortedness(s) > 0.99
     assert planner.predict_radix_overflow(s.copy(), PLAN, N)
+
+
+def test_big_tile_low_alpha_plan():
+    """DESIGN.md round-3 geometry: k=65536 / s1=2560 (alpha 1.25, 6.5-sigma
+    capacity holds at big-tile binomial noise) / s=2048 (pow2 merge
+    granule) must plan 2 passes + a staged 5*2^16 leaf at 2^28."""
+    p = plan_msd(1 << 28, 0, 32, k=1 << 16, s1=2560, leaf_max=327680,
+                 leaf_profile="raw")
+    assert p is not None
+    assert len(p.passes) == 2
+    assert p.passes[0].s == 2560 and p.passes[1].s == 2048
+    assert p.passes[0].k == p.passes[1].k == 1 << 16
+    assert p.seg == 327680 and p.m_final == (1 << 28) * 5 // 4
+    from tpusort.kernels.bitonic import merge_staged_factor
+
+    assert merge_staged_factor(p.seg) == 5
+    assert (p.seg // 5) % p.passes[-1].s == 0  # staged merge from s=2048

@@ -175,9 +175,40 @@ def plan_msd(
             rem_width=bits - consumed,
         )
 
+    # Non-network per-pass cost (emit window slices + starts compare-reduces
+    # + the HBM round trip between passes), in compare-exchange
+    # stage-equivalents per element.  Calibrated on v5e: pass_full k=16384
+    # minus the bare network = ~58 ps/elem over ~2.4 ps/stage.
+    _OH_PASS = 24.0
+    _OH_LEAF = 10.0      # fused leaf+collapse write discipline
+
+    def _leaf_slots(seg: int, run: int) -> float:
+        """Exact compare-exchange stage-slots (stages x elements) of the
+        raw-key leaf network over one ``seg``-element tile with sorted
+        ``run``-subruns: the staged f*2^a merge when it applies (its final
+        phases run on partial/padded extents — counted exactly, matching
+        kernels.bitonic._merge_sorted_runs_fpow2), else the pow2-padded
+        bitonic merge."""
+        from tpusort.kernels.bitonic import merge_staged_factor
+
+        c = run.bit_length() - 1
+        f = merge_staged_factor(seg)
+        if f and (seg // f) % run == 0:
+            blk = seg // f
+            a = blk.bit_length() - 1
+            slots = sum(range(c + 1, a + 1)) * seg        # phases c..a-1
+            slots += (a + 1) * (f - 1) * blk              # phase a, front
+            if f == 5:
+                slots += (a + 2) * 4 * blk                # phase a+1, front
+            k_fin = a + (f - 1).bit_length() - 1
+            slots += (k_fin + 1) * 2 * (f - 1) * blk      # final, padded
+            return float(slots)
+        pow2 = 1 << (seg - 1).bit_length()
+        return float(sum(range(c + 1, pow2.bit_length())) * pow2)
+
     def _cost(plan: MsdPlan) -> float:
-        """Stage-slot cost model (CE stages x elements, with penalties for
-        batching-hostile tiny t_seg and the leaf's pow2 padding)."""
+        """Stage-slot cost model (CE stages x elements + per-pass emit/HBM
+        overheads, with penalties for batching-hostile tiny t_seg)."""
         total = 0.0
         prev_s = None
         for sp in plan.passes:
@@ -188,20 +219,10 @@ def plan_msd(
             else:
                 k0 = (prev_s & -prev_s).bit_length() - 1
                 stages = sum(range(k0 + 1, lgk + 1))  # merge tail
-            total += stages * sp.n_seg * sp.t_seg * sp.k * nb_pen
+            total += (stages * nb_pen + _OH_PASS) * sp.n_seg * sp.t_seg * sp.k
             prev_s = sp.s
-        # leaf: merge from the last pass's pow2 run size; 3*2^a tiles use
-        # the staged merge (~75% of the padded cost), others pad to pow2
-        seg = plan.seg
+        # leaf: merge from the last pass's pow2 run size
         run = prev_s & -prev_s
-        pow2 = 1 << (seg - 1).bit_length()
-        k0 = run.bit_length() - 1
-        stages = sum(range(k0 + 1, pow2.bit_length()))
-        from tpusort.kernels.bitonic import merge_staged_factor
-
-        f = merge_staged_factor(seg)
-        staged = f and (seg // f) % run == 0
-        eff = seg * 1.05 if staged else pow2 * 1.0
         # leaf variant keyed on the remaining bit width (GetSortKernel
         # analog): the packed-sortkey network needs rem + idx (+ tie
         # headroom) to fit one u32 word; past that the leaf drops to the
@@ -216,7 +237,9 @@ def plan_msd(
             leaf_mult = (
                 5.0 if plan.rem_width + idx_bits + 1 > 32 else 1.15
             )
-        total += stages * plan.n_segments * eff * leaf_mult
+        total += plan.n_segments * (
+            _leaf_slots(plan.seg, run) * leaf_mult + _OH_LEAF * plan.seg
+        )
         return total
 
     best = None
