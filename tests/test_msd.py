@@ -368,3 +368,27 @@ def test_skew_tier_pairs_cond_traces():
     wk, wv = np_sort_oracle(keys, vals)
     np.testing.assert_array_equal(np.asarray(out), wk)
     np.testing.assert_array_equal(np.asarray(sv[0]), wv)
+
+
+@pytest.mark.slow
+def test_msd_pairs_gather_apply_interpret():
+    """Stable pairs with config.pairs_gather_apply: payloads skip the
+    network and are applied by an XLA gather from the sorted position
+    plane — output must be bit-identical to the stable oracle, including
+    under heavy duplicate keys (stability via the unique position
+    tiebreak)."""
+    from tpusort.configs import SortConfig
+
+    cfg = SortConfig(pairs_gather_apply=True)
+    n = 22_000
+    keys = datagen.entropy_keys(jax.random.key(31), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    planes, traits = td.twiddle_in(keys)
+    sp, sv = msd.sort_twiddled_msd(
+        planes, (vals,), begin_bit=0, end_bit=32, total_bits=32,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+    )
+    gk = td.twiddle_out(sp, traits, dtype=keys.dtype)
+    wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(sv[0]), wv)

@@ -44,6 +44,10 @@ class SortConfig:
     # tiles per partition-pass grid step (None = kernel default 4; big
     # tiles run best unbatched — see DESIGN.md round-3 geometry findings)
     pass_batch: Optional[int] = None
+    # stable pairs: keep payloads OUT of the compare-exchange network and
+    # apply them with one XLA gather per payload from the sorted position
+    # plane (each extra network operand costs ~30-50% of the chain)
+    pairs_gather_apply: bool = False
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"
 

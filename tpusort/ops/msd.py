@@ -632,14 +632,34 @@ def sort_twiddled_msd(
         # path and shares all raw-path machinery (merge networks, network
         # leaf).
         gidx = jnp.arange(n, dtype=jnp.uint32)
+        # gather-apply (config.pairs_gather_apply): payloads do NOT ride
+        # the compare-exchange network (each extra operand costs ~30-50%
+        # of the whole chain) — the sorted position plane IS the
+        # permutation, so payloads are applied afterwards with one XLA
+        # gather each (the rank-then-gather discipline of the reference's
+        # downsweep, agent_radix_sort_downsweep.cuh:439-471, hoisted to
+        # whole-array granularity).  mode="clip" keeps the gather safe
+        # when flag-mode overflow leaves the permutation plane garbage
+        # (the caller discards the output).
+        gather_apply = bool(config is not None and config.pairs_gather_apply)
         res = sort_twiddled_msd(
-            (planes[0], gidx), values, begin_bit=0, end_bit=64,
+            (planes[0], gidx), () if gather_apply else values,
+            begin_bit=0, end_bit=64,
             total_bits=64, use_pallas=use_pallas, plan_kwargs=plan_kwargs,
             stable=False, on_overflow=on_overflow, config=config,
         )
+        if gather_apply:
+            pidx = res[0][1].astype(jnp.int32)
+            out_vals = tuple(
+                jnp.take(jnp.asarray(v), pidx, unique_indices=True,
+                         mode="clip")
+                for v in values
+            )
+        else:
+            out_vals = res[1]
         if flag_mode:
-            return ((res[0][0],), res[1], res[2])
-        return (res[0][0],), res[1]
+            return ((res[0][0],), out_vals, res[2])
+        return (res[0][0],), out_vals
     # 32-bit word split for payloads is handled at the API layer; here all
     # operands are uint32.
     ops = [jnp.pad(p, (0, plan.m1 - n)) for p in planes]
