@@ -105,7 +105,8 @@ def main():
         try:
             if args.u64:
                 fn = jax.jit(lambda h, l, *v: tpusort.sort_planes(
-                    (h, l), *v, key_dtype="uint64", algorithm="msd"))
+                    (h, l), (v if v else None), key_dtype="uint64",
+                    algorithm="msd", stable=args.stable))
             elif args.pairs:
                 fn = jax.jit(lambda k, v: tpusort.sort(
                     k, v, algorithm="msd", stable=args.stable))

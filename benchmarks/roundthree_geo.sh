@@ -12,6 +12,9 @@ run() {
 
 T=120 run python -c "import jax,jax.numpy as jnp,numpy as np; print('TPU OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))" || exit 1
 
+# 0) retry the keys headline verify row (timed out at T=900 in stage B)
+T=2400 run python bench.py --log2n 28 --verify
+
 # 1) keys-only geometry at the flagship size
 T=1800 run python benchmarks/geometry_ab.py --log2n 28 --configs base,big
 T=1800 run python benchmarks/geometry_ab.py --log2n 28 --configs big_nb2,big_p3
@@ -28,5 +31,8 @@ T=1800 run python benchmarks/geometry_ab.py --log2n 28 --pairs --stable --config
 # 3) u64 keys
 T=1800 run python benchmarks/geometry_ab.py --log2n 26 --u64 --configs base,big
 T=1800 run python benchmarks/geometry_ab.py --log2n 28 --u64 --configs base,big
+
+# 4) u64 stable pairs: composite 3-plane + gather vs general sortkey path
+T=1800 run python benchmarks/geometry_ab.py --log2n 26 --u64 --pairs --stable --configs base,gather,big_gather
 
 echo "=== roundthree geo A/B complete $(date) ===" | tee -a "$LOG"

@@ -392,3 +392,28 @@ def test_msd_pairs_gather_apply_interpret():
     wk, wv = np_sort_oracle(np.asarray(keys), np.asarray(vals))
     np.testing.assert_array_equal(np.asarray(gk), wk)
     np.testing.assert_array_equal(np.asarray(sv[0]), wv)
+
+
+@pytest.mark.slow
+def test_msd_u64_pairs_gather_apply_interpret():
+    """Stable 64-bit pairs with config.pairs_gather_apply: composite
+    (hi, lo, position) 3-plane raw sort + payload gather must match the
+    stable oracle bit-for-bit (duplicate-heavy hi plane)."""
+    from tpusort.configs import SortConfig
+
+    cfg = SortConfig(pairs_gather_apply=True)
+    n = 20_000
+    hi = datagen.entropy_keys(jax.random.key(41), n, 3, "uint32")
+    lo = datagen.entropy_keys(jax.random.key(42), n, 2, "uint32")
+    vals = datagen.enumerated_values(n)
+    sp, sv = msd.sort_twiddled_msd(
+        (hi, lo), (vals,), begin_bit=0, end_bit=64, total_bits=64,
+        use_pallas=True, plan_kwargs=dict(SMALL), config=cfg,
+    )
+    gk = (np.asarray(sp[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(sp[1]).astype(np.uint64)
+    kk = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(lo).astype(np.uint64)
+    order = np.argsort(kk, kind="stable")
+    np.testing.assert_array_equal(gk, kk[order])
+    np.testing.assert_array_equal(np.asarray(sv[0]), np.asarray(vals)[order])

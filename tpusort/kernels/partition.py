@@ -397,7 +397,7 @@ def partition_pass_fused(
     n_data = n_planes + n_values
     idx_bits = K.bit_length() - 1
     keys_only_fast = (
-        digit is None and n_planes <= 2 and (n_values == 0 or unstable)
+        digit is None and n_planes <= 3 and (n_values == 0 or unstable)
     )
     if splitters is not None and not keys_only_fast:
         raise ValueError("splitters mode requires the raw-key path")

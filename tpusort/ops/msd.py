@@ -568,7 +568,7 @@ def sort_twiddled_msd(
     raw_leaf = (
         (use_pallas if use_pallas is not None
          else jax.default_backend() == "tpu")
-        and len(planes) <= 2
+        and len(planes) <= 3
         and (not values or not stable)
         and begin_bit == 0
         and end_bit == total_bits == 32 * len(planes)
@@ -660,6 +660,35 @@ def sort_twiddled_msd(
         if flag_mode:
             return ((res[0][0],), out_vals, res[2])
         return (res[0][0],), out_vals
+    if (
+        stable
+        and values
+        and use_pallas
+        and nplanes == 2
+        and begin_bit == 0
+        and end_bit == total_bits == 64
+        and config is not None
+        and config.pairs_gather_apply
+    ):
+        # stable 64-bit pairs via the composite 96-bit key (hi, lo,
+        # position): a 3-plane raw-key sort (the networks and leaf take
+        # num_keys generically) whose position plane doubles as the
+        # payload permutation — replacing the general sortkey path's 4
+        # network operands AND its ~5x XLA multikey leaf.
+        gidx = jnp.arange(n, dtype=jnp.uint32)
+        res = sort_twiddled_msd(
+            (planes[0], planes[1], gidx), (), begin_bit=0, end_bit=96,
+            total_bits=96, use_pallas=use_pallas, plan_kwargs=plan_kwargs,
+            stable=False, on_overflow=on_overflow, config=config,
+        )
+        pidx = res[0][2].astype(jnp.int32)
+        out_vals = tuple(
+            jnp.take(jnp.asarray(v), pidx, unique_indices=True, mode="clip")
+            for v in values
+        )
+        if flag_mode:
+            return ((res[0][0], res[0][1]), out_vals, res[2])
+        return (res[0][0], res[0][1]), out_vals
     # 32-bit word split for payloads is handled at the API layer; here all
     # operands are uint32.
     ops = [jnp.pad(p, (0, plan.m1 - n)) for p in planes]
@@ -669,7 +698,7 @@ def sort_twiddled_msd(
 
     raw_ok = (
         use_pallas
-        and nplanes <= 2
+        and nplanes <= 3
         and (not values or not stable)
         and plan.rem_lo == 0
         and begin_bit == 0
