@@ -38,6 +38,8 @@ CANDIDATES = {
     "big_leaf128k": dict(tile_elems=1 << 16, s1=2560, leaf_max=131072,
                          pass_batch=1),
     "k32": dict(tile_elems=1 << 15, s1=1280, leaf_max=163840, pass_batch=2),
+    "big_r64": dict(tile_elems=1 << 16, radix=64, s1=1280, leaf_max=163840,
+                    pass_batch=1),
     # stable pairs: payloads applied by one XLA gather instead of riding
     # the network (requires --pairs --stable)
     "gather": dict(pairs_gather_apply=True, pass_batch=4),

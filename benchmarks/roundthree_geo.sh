@@ -17,7 +17,7 @@ T=2400 run python bench.py --log2n 28 --verify
 
 # 1) keys-only geometry at the flagship size
 T=1800 run python benchmarks/geometry_ab.py --log2n 28 --configs base,big
-T=1800 run python benchmarks/geometry_ab.py --log2n 28 --configs big_nb2,big_p3
+T=1800 run python benchmarks/geometry_ab.py --log2n 28 --configs big_nb2,big_r64
 # winner sanity across sizes
 T=1500 run python benchmarks/geometry_ab.py --log2n 26 --configs base,big
 T=1500 run python benchmarks/geometry_ab.py --log2n 24 --configs base,big
