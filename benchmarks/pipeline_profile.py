@@ -19,7 +19,8 @@ from tpusort.kernels.bitonic import (
 )
 from tpusort.kernels.collapse import collapse_segments
 
-N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 28)
+_args = [a for a in sys.argv[1:] if a != "--log2n"]
+N = 1 << (int(_args[0]) if _args else 28)
 
 
 @jax.jit

@@ -35,4 +35,10 @@ T=1800 run python benchmarks/geometry_ab.py --log2n 28 --u64 --configs base,big
 # 4) u64 stable pairs: composite 3-plane + gather vs general sortkey path
 T=1800 run python benchmarks/geometry_ab.py --log2n 26 --u64 --pairs --stable --configs base,gather,big_gather
 
+# 5) distributed shard-stage bound on the real chip (VERDICT r2 #9):
+#    2^28 over 8 chips (shard 2^25) and 2^32 over 16 (shard 2^28)
+T=1200 run python benchmarks/shard_stage_profile.py --log2n-shard 25 --d 8 --chunks 4
+T=1200 run python benchmarks/shard_stage_profile.py --log2n-shard 25 --d 8 --chunks 4 --pairs
+T=1800 run python benchmarks/shard_stage_profile.py --log2n-shard 28 --d 16 --chunks 4
+
 echo "=== roundthree geo A/B complete $(date) ===" | tee -a "$LOG"
