@@ -116,8 +116,16 @@ def main():
     rows = [(t, None) for t in args.types if t != "pairs"]
     if args.pairs or "pairs" in args.types:
         rows.append(("pairs", None))
+
+    def _flush():
+        # incremental CSV: a timeout/tunnel death keeps the finished rows
+        if args.csv:
+            with open(args.csv, "w") as f:
+                f.write(prof.csv())
+
     for dtype, _ in rows:
         for entropy in args.entropies:
+            _flush()
             if dtype == "uint64":
                 hi, lo = _gen_planes(n, entropy)
                 fn = lambda h, l: tpusort.sort_planes(
@@ -172,9 +180,8 @@ def main():
                         r.set_metric("verified", verify_keys(keys, fn(keys)))
 
     print(prof.table())
+    _flush()
     if args.csv:
-        with open(args.csv, "w") as f:
-            f.write(prof.csv())
         print(f"csv written to {args.csv}")
 
 
