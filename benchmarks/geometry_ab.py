@@ -15,7 +15,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")

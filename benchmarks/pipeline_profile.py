@@ -44,7 +44,11 @@ def bench(name, fn, *args, iters=2):
     return f
 
 
-plan = msd.plan_msd(N, 0, 32)
+from tpusort.configs import get_config
+
+_kw = {k: v for k, v in get_config(32, False, "tpu").plan_kwargs().items()
+       if k != "min_n"}
+plan = msd.plan_msd(N, 0, 32, **_kw)
 print("plan:", [(p.n_seg, p.t_seg, p.k, p.r, p.s) for p in plan.passes],
       "seg", plan.seg, "nseg", plan.n_segments, "m1", plan.m1,
       "mfinal", plan.m_final)

@@ -70,6 +70,35 @@ def test_equidepth_presorted():
 
 
 def test_equidepth_api_dispatch():
+    """``algorithm="msd_equidepth"`` must route through the registered
+    equi-depth engine slot and return its result (wiring only — the full
+    interpret-mode pipeline is the slow variant below; it costs ~100 s of
+    XLA-CPU compile).  The spy delegates to the reference engine so the
+    output equality still proves the engine's result is what comes back."""
+    from tpusort.api import register_engine, sort_twiddled_reference
+
+    calls = []
+
+    def spy(planes, values, **kw):
+        calls.append(1)
+        kw.pop("config", None)
+        kw.pop("stable", None)
+        return sort_twiddled_reference(planes, values, **kw)
+
+    try:
+        register_engine("msd_equidepth", spy)
+        n = 6_000
+        keys = datagen.entropy_keys(jax.random.key(10), n, 3, "uint32")
+        got = tpusort.sort(keys, algorithm="msd_equidepth")
+    finally:
+        register_engine("msd_equidepth", equidepth.sort_twiddled_equidepth)
+    assert calls, "msd_equidepth did not reach the registered engine"
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np_sort_oracle(np.asarray(keys)))
+
+
+@pytest.mark.slow
+def test_equidepth_api_dispatch_full():
     n = 40_000
     keys = datagen.entropy_keys(jax.random.key(10), n, 3, "uint32")
     got = tpusort.sort(keys, algorithm="msd_equidepth")

@@ -119,7 +119,7 @@ def test_partition_pass_counts_and_runs():
     """Fused pass: counts must equal the per-(tile, digit) histogram and
     each emitted run must hold that digit's keys sorted."""
     rng = np.random.default_rng(6)
-    T, K, R, S = 2, 2048, 8, 384
+    T, K, R, S = 2, 1024, 8, 384
     x = rng.integers(0, 2**32 - 1, (T, K), dtype=np.uint32)
     n = T * K - 333
     data, counts = partition_pass_fused(
@@ -145,7 +145,7 @@ def test_sort_tiles_counts_collapsed_dense():
     from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
 
     rng = np.random.default_rng(13)
-    T, K, q = 8, 1024, 128
+    T, K, q = 4, 512, 128
     keys = rng.integers(0, 1 << 32, (T, K), dtype=np.uint64).astype(np.uint32)
     vals = rng.integers(0, 1 << 32, (T, K), dtype=np.uint64).astype(np.uint32)
     counts = rng.integers(0, q + 1, (T, K // q)).astype(np.int32)

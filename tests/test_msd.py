@@ -60,7 +60,7 @@ def test_plan_default_geometry():
 
 @pytest.mark.parametrize("dtype", ["uint32", "int32", "float32", "uint64",
                                     "float64"])
-@pytest.mark.parametrize("n", [70_000, 131072])
+@pytest.mark.parametrize("n", [40_000, 65536])
 def test_msd_keys_oracle(dtype, n):
     keys = datagen.random_keys(jax.random.key(n), n, dtype)
     got = _msd_sort(keys)
@@ -72,7 +72,7 @@ def test_msd_keys_oracle(dtype, n):
 def test_msd_moderate_entropy(entropy):
     """Moderately skewed digits: either the padding absorbs it or the
     overflow fallback fires — output must be exact either way."""
-    n = 100_000
+    n = 50_000
     keys = datagen.entropy_keys(jax.random.key(1), n, entropy, "uint32")
     got = _msd_sort(keys)
     want = np_sort_oracle(np.asarray(keys))
@@ -82,7 +82,7 @@ def test_msd_moderate_entropy(entropy):
 @pytest.mark.parametrize("entropy", [8, 0])
 def test_msd_extreme_skew_fallback(entropy):
     """Entropy 8 / constant keys overflow every run -> lax.cond fallback."""
-    n = 80_000
+    n = 40_000
     keys = datagen.entropy_keys(jax.random.key(2), n, entropy, "uint32")
     got = _msd_sort(keys)
     want = np_sort_oracle(np.asarray(keys))
@@ -195,7 +195,7 @@ def test_msd_pallas_no_false_fallback():
     """Uniform keys must NOT trip the overflow fallback — a silently-firing
     fallback masks kernel bugs behind correct-but-slow output (regression:
     the first merge-network attempt miscompiled and hid exactly this way)."""
-    n = 23_000
+    n = 12_000
     keys = datagen.random_keys(jax.random.key(14), n, "uint32")
     planes, _ = td.twiddle_in(keys)
     plan = msd.plan_msd(n, 0, 32, **{k: v for k, v in SMALL.items()
@@ -329,7 +329,8 @@ def test_msd_overflow_flag_mode():
     from oracle import np_sort_oracle
     import numpy as np
 
-    n = 200_000
+    n = 70_000  # must exceed SortConfig.min_n (65536) or the engine
+    # delegates to the reference sort and never raises the flag
     keys = datagen.random_keys(jax.random.key(5), n, "uint32")
     planes, traits = td.twiddle_in(keys)
     sp, sv, ovf = _m.sort_twiddled_msd(
@@ -355,7 +356,7 @@ def test_skew_tier_pairs_cond_traces():
     branches pytree-compatible (regression: the equidepth fallback branch
     returned key planes only and crashed pairs sorts at trace time)."""
     rng = np.random.default_rng(11)
-    n = 50_000
+    n = 20_000
     keys = rng.integers(0, 2**32, n, dtype=np.uint32)
     vals = np.arange(n, dtype=np.uint32)
     planes, traits = td.twiddle_in(jnp.asarray(keys))

@@ -200,12 +200,26 @@ def test_digit_histogram_pallas_kernel():
     rng = np.random.default_rng(11)
     n = 128 * 8 * 4
     x = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
-    for shift, bits in [(27, 5), (0, 3), (24, 8)]:
+    for shift, bits in [(27, 5), (0, 3)]:
         got = np.asarray(digit_histogram_tiles(
             jnp.asarray(x), shift, bits, tile_rows=8, interpret=True))
         want = np.bincount((x >> shift) & ((1 << bits) - 1),
                            minlength=1 << bits).astype(np.int32)
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_digit_histogram_pallas_kernel_wide():
+    """8-bit digit width (256 bins) — the widest fan-out the planner uses."""
+    from tpusort.kernels.scanhist import digit_histogram_tiles
+
+    rng = np.random.default_rng(11)
+    n = 128 * 8 * 4
+    x = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(digit_histogram_tiles(
+        jnp.asarray(x), 24, 8, tile_rows=8, interpret=True))
+    want = np.bincount((x >> 24) & 0xFF, minlength=256).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_segmented_sort_rejects_noncovering_offsets():

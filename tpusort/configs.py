@@ -84,16 +84,18 @@ def get_config(
     return SortConfig()
 
 
-# Defaults, measured on v5e (DESIGN.md round-3 sweeps): K=16384/R=32 keeps
-# the bitonic partition tiles VMEM-resident; the keys-only 1-operand pass
-# peaks at batch 8 (3.85 vs 3.60 Gelem/s at nb=4, 3.10 at nb=2 — the
-# transposed-layout network is latency-bound and batching covers the serial
-# stage chain).  Multi-operand shapes (pairs, u64) carry 2-4 network
-# operands, so the VMEM budget halves the batch.  CPU (test) configs use
-# small tiles and a low min_n so the full pass pipelines execute at CI
-# problem sizes through the public API.
+# Defaults, measured on v5e (DESIGN.md round-3 sweeps + the on-chip
+# geometry A/B, benchmarks/results/roundthree_geo.log).  Keys-only won by
+# the big-tile low-alpha row: K=65536/R=32, s1=2560 (alpha=1.25, one fewer
+# pass at 2^28: 872 vs 817 M keys/s for K=16384/batch=8), batch 2 (871.8
+# vs 830.1 at batch 1).  Multi-operand shapes (pairs, u64) carry 2-4
+# network operands, so the VMEM budget halves the batch (their rows are
+# re-measured per shape below).  CPU (test) configs use small tiles and a
+# low min_n so the full pass pipelines execute at CI problem sizes through
+# the public API.
 register_config(32, False, "tpu", SortConfig(default_algorithm="msd",
-                                             pass_batch=8))
+                                             tile_elems=1 << 16, s1=2560,
+                                             leaf_max=327680, pass_batch=2))
 register_config(32, True, "tpu", SortConfig(default_algorithm="msd",
                                             pass_batch=4))
 register_config(64, False, "tpu", SortConfig(default_algorithm="msd",
