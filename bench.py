@@ -95,11 +95,29 @@ def main():
                          "full D2H; catches miscompiles hiding behind "
                          "plausible timings)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--meminfo", action="store_true",
+                    help="compile only and print the XLA memory analysis "
+                         "(peak HBM for the timed computation) instead of "
+                         "running — diagnoses RESOURCE_EXHAUSTED at 2^30")
     args = ap.parse_args()
 
     n = 1 << args.log2n
-    overhead = _time(jax.jit(lambda a: a),
-                     jnp.zeros((8,), jnp.uint32), iters=args.iters)
+    if args.meminfo:
+        global _time
+
+        def _time(fn, *a, iters=0, warmup=0):  # noqa: F811
+            ma = fn.lower(*a).compile().memory_analysis()
+            print(json.dumps({
+                "log2n": args.log2n,
+                "peak_gb": round(getattr(ma, "temp_size_in_bytes", 0) / 2**30, 3),
+                "args_gb": round(getattr(ma, "argument_size_in_bytes", 0) / 2**30, 3),
+                "out_gb": round(getattr(ma, "output_size_in_bytes", 0) / 2**30, 3),
+                "alias_gb": round(getattr(ma, "alias_size_in_bytes", 0) / 2**30, 3),
+            }))
+            raise SystemExit(0)
+
+    overhead = 0.0 if args.meminfo else _time(
+        jax.jit(lambda a: a), jnp.zeros((8,), jnp.uint32), iters=args.iters)
 
     # At 2^30 the held input buffer (4.3 GB) plus the pipeline's in+out
     # pass buffers (2 x 1.5n x 4B) exceed HBM; generating keys inside the
