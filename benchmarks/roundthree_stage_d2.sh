@@ -17,4 +17,9 @@ T=2400 run python benchmarks/geometry_ab.py --log2n 28 --pairs --stable --config
 T=1800 run python benchmarks/geometry_ab.py --log2n 26 --pairs --configs big_pairs   # unstable pairs, big tile
 T=1800 run python benchmarks/geometry_ab.py --log2n 26 --u64 --pairs --stable --configs big_pairs
 
+# where do the modeled big-tile gains go?  per-stage timing at the
+# registered production geometry (k=65536 nb=2)
+T=1800 run python benchmarks/pipeline_profile.py 28
+T=1500 run python bench.py --log2n 29 --verify
+
 echo "=== roundthree stage D2 complete $(date) ===" | tee -a "$LOG"

@@ -134,7 +134,7 @@ def test_global_sort_i64_planes_descending(mesh):
 def test_global_sort_chunked_exchange(mesh):
     """chunks > 1 splits the all-to-all along the capacity axis; results
     are identical to the monolithic exchange."""
-    n = 1 << 15
+    n = 1 << 14
     keys = datagen.entropy_keys(jax.random.key(10), n, 2, "uint32")
     got1 = np.asarray(gs.global_sort(keys, mesh=mesh, chunks=1))
     got4 = np.asarray(gs.global_sort(keys, mesh=mesh, chunks=4))

@@ -72,8 +72,11 @@ def test_merge_sorted_runs(run):
     np.testing.assert_array_equal(np.asarray(got), np.sort(x, axis=1))
 
 
-@pytest.mark.parametrize("k,run", [(384, 128), (1536, 256), (640, 128),
-                                   (2560, 256)])
+@pytest.mark.parametrize("k,run", [
+    (384, 128), (640, 128), (1536, 256),
+    # production s1 geometry: heaviest interpret-mode network, slow set
+    pytest.param(2560, 256, marks=pytest.mark.slow),
+])
 def test_staged_fpow2_merge(k, run):
     assert kb.merge_staged_factor(k) in (3, 5)
     rng = np.random.default_rng(k)
@@ -87,8 +90,8 @@ def test_staged_fpow2_merge(k, run):
 
 def test_two_key_lexicographic_network():
     rng = np.random.default_rng(4)
-    hi = rng.integers(0, 4, (2, 512), dtype=np.uint32)   # heavy ties
-    lo = rng.integers(0, 2**32, (2, 512), dtype=np.uint32)
+    hi = rng.integers(0, 4, (2, 256), dtype=np.uint32)   # heavy ties
+    lo = rng.integers(0, 2**32, (2, 256), dtype=np.uint32)
     got = _run_net(lambda a: kb._sort_network(a, num_keys=2),
                    [jnp.asarray(hi), jnp.asarray(lo)])
     comp = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
@@ -101,7 +104,7 @@ def test_two_key_lexicographic_network():
 def test_sort_tiles_counts_validity():
     """Counts-table leaf: garbage slots excluded, valid prefix sorted."""
     rng = np.random.default_rng(5)
-    T, K, q = 4, 1024, 128
+    T, K, q = 2, 512, 128
     x = rng.integers(0, 2**32 - 1, (T, K), dtype=np.uint32)
     counts = rng.integers(0, q + 1, (T, K // q), dtype=np.int32)
     got = kb.sort_tiles_counts(jnp.asarray(x), jnp.asarray(counts), q,
@@ -119,7 +122,7 @@ def test_partition_pass_counts_and_runs():
     """Fused pass: counts must equal the per-(tile, digit) histogram and
     each emitted run must hold that digit's keys sorted."""
     rng = np.random.default_rng(6)
-    T, K, R, S = 2, 1024, 8, 384
+    T, K, R, S = 2, 512, 8, 256
     x = rng.integers(0, 2**32 - 1, (T, K), dtype=np.uint32)
     n = T * K - 333
     data, counts = partition_pass_fused(
@@ -145,7 +148,7 @@ def test_sort_tiles_counts_collapsed_dense():
     from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
 
     rng = np.random.default_rng(13)
-    T, K, q = 4, 512, 128
+    T, K, q = 2, 256, 128
     keys = rng.integers(0, 1 << 32, (T, K), dtype=np.uint64).astype(np.uint32)
     vals = rng.integers(0, 1 << 32, (T, K), dtype=np.uint64).astype(np.uint32)
     counts = rng.integers(0, q + 1, (T, K // q)).astype(np.int32)

@@ -90,7 +90,7 @@ def test_msd_extreme_skew_fallback(entropy):
 
 
 def test_msd_pairs_stable():
-    n = 90_000
+    n = 40_000
     keys = datagen.entropy_keys(jax.random.key(3), n, 2, "uint32")
     vals = datagen.enumerated_values(n)
     gk, gv = _msd_sort(keys, vals)
@@ -195,7 +195,7 @@ def test_msd_pallas_no_false_fallback():
     """Uniform keys must NOT trip the overflow fallback — a silently-firing
     fallback masks kernel bugs behind correct-but-slow output (regression:
     the first merge-network attempt miscompiled and hid exactly this way)."""
-    n = 12_000
+    n = 6_000
     keys = datagen.random_keys(jax.random.key(14), n, "uint32")
     planes, _ = td.twiddle_in(keys)
     plan = msd.plan_msd(n, 0, 32, **{k: v for k, v in SMALL.items()
@@ -329,13 +329,12 @@ def test_msd_overflow_flag_mode():
     from oracle import np_sort_oracle
     import numpy as np
 
-    n = 70_000  # must exceed SortConfig.min_n (65536) or the engine
-    # delegates to the reference sort and never raises the flag
+    n = 9_000  # a few SMALL-geometry tiles; min_n=1 keeps the engine engaged
     keys = datagen.random_keys(jax.random.key(5), n, "uint32")
     planes, traits = td.twiddle_in(keys)
     sp, sv, ovf = _m.sort_twiddled_msd(
         planes, (), begin_bit=0, end_bit=32, total_bits=32,
-        on_overflow="flag",
+        on_overflow="flag", plan_kwargs=dict(SMALL),
     )
     assert not bool(ovf)
     got = td.twiddle_out(sp, traits, dtype=keys.dtype)
@@ -346,7 +345,7 @@ def test_msd_overflow_flag_mode():
     planes_c, _ = td.twiddle_in(const)
     _, _, ovf_c = _m.sort_twiddled_msd(
         planes_c, (), begin_bit=0, end_bit=32, total_bits=32,
-        on_overflow="flag",
+        on_overflow="flag", plan_kwargs=dict(SMALL),
     )
     assert bool(ovf_c)
 

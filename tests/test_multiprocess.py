@@ -18,13 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "benchmarks", "multiprocess_sim.py")
 
 
-@pytest.mark.parametrize(
-    "pairs",
-    [False,
-     # the pairs variant re-validates the same gloo harness with payloads
-     # (covered fast by the CPU-mesh tests); keep one spawn in the fast set
-     pytest.param(True, marks=pytest.mark.slow)],
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("pairs", [False, True])
 def test_multiprocess_global_sort(pairs):
     env = dict(os.environ)
     # fresh processes must not inherit this test process's 8-device flag

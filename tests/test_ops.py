@@ -140,7 +140,7 @@ def test_bitonic_engine_small_n(n):
 
 
 def test_bitonic_engine_pairs_permutation():
-    n = 2048  # multiple of 128: kernel path with payloads
+    n = 1024  # multiple of 128: kernel path with payloads
     keys = datagen.entropy_keys(jax.random.key(7), n, 2, "uint32")
     vals = datagen.enumerated_values(n)
     gk, gv = tpusort.sort(keys, vals, algorithm="bitonic")

@@ -34,7 +34,7 @@ def test_profile_msd_phases_cpu():
     crashed before emitting leaf_ms/collapse_ms)."""
     from tpusort.utils.profiling import profile_msd_phases
 
-    p = profile_msd_phases(1 << 16, fused_total=False)
+    p = profile_msd_phases(1 << 14, fused_total=False)
     assert len(p.runs) == 1
     m = p.runs[0]
     assert m.metrics["leaf_ms"] > 0 and m.metrics["collapse_ms"] > 0
