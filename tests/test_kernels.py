@@ -176,3 +176,50 @@ def test_sort_tiles_counts_collapsed_dense():
     np.testing.assert_array_equal(got_pairs[o1], want_pairs[o2])
 
 
+
+
+@pytest.mark.parametrize("n_data", [1, 2])
+def test_collapse_segments_chunked(monkeypatch, n_data):
+    """Chunked collapse (segrows > VMEM budget): big segments stream
+    through a fixed-size window; clamped-overlap tail chunks and empty
+    segments must still produce the exact dense concatenation.  Guards
+    the r3 distributed-finish OOM fix (scratch was sized group*segrows)."""
+    from tpusort.kernels import collapse as kc
+
+    rng = np.random.default_rng(7)
+    nseg, segrows = 5, 10            # seg = 1280 elements
+    seg = segrows * LANES
+    # budget 3 rows -> f=3, nch=4, last chunk clamped (coff=7, not 9)
+    monkeypatch.setattr(kc, "_VMEM_BUDGET", 3 * LANES * 4)
+    ops = [
+        rng.integers(0, 1 << 32, (nseg, seg), dtype=np.uint64)
+        .astype(np.uint32)
+        for _ in range(n_data)
+    ]
+    counts = np.array([seg, 0, 517, 1, 1280 - 129], np.int32)
+    n_out = int(counts.sum())
+    got = kc.collapse_segments(
+        [jnp.asarray(o) for o in ops], jnp.asarray(counts), n_out,
+        interpret=True)
+    for o, g in zip(ops, got):
+        want = np.concatenate([o[s, :counts[s]] for s in range(nseg)])
+        np.testing.assert_array_equal(np.asarray(g), want)
+
+
+def test_collapse_segments_group_budget(monkeypatch):
+    """Grouped collapse must shrink the group to fit the VMEM budget."""
+    from tpusort.kernels import collapse as kc
+
+    rng = np.random.default_rng(8)
+    nseg, segrows = 8, 2
+    seg = segrows * LANES
+    monkeypatch.setattr(kc, "_VMEM_BUDGET", 4 * LANES * 4)  # group <= 2
+    ops = [rng.integers(0, 1 << 32, (nseg, seg), dtype=np.uint64)
+           .astype(np.uint32)]
+    counts = rng.integers(0, seg + 1, (nseg,)).astype(np.int32)
+    n_out = int(counts.sum())
+    got = kc.collapse_segments(
+        [jnp.asarray(ops[0])], jnp.asarray(counts), max(n_out, 1),
+        interpret=True)
+    want = np.concatenate([ops[0][s, :counts[s]] for s in range(nseg)])
+    np.testing.assert_array_equal(np.asarray(got[0])[:n_out], want)

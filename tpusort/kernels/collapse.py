@@ -98,6 +98,13 @@ def _collapse_kernel(
         cp_out.wait()
 
 
+# VMEM budget per operand for the stream buffer + input block (bytes).
+# Above it, big segments are streamed through fixed-size chunks instead of
+# sizing the scratch to group*segrows (the r3 distributed-finish OOM:
+# s32[353928,128] = 181 MB of scratch at a 5.66M-element shard capacity).
+_VMEM_BUDGET = 4 << 20
+
+
 def collapse_segments(
     ops: Sequence[jax.Array],
     seg_counts: jax.Array,
@@ -110,6 +117,14 @@ def collapse_segments(
 
     ops: (nseg, seg) uint32 arrays (seg multiple of 128); seg_counts:
     (nseg,) int32 valid prefix lengths, sum >= n_out.
+
+    VMEM-bounded in both directions: small segments are grouped (several
+    segments per grid step), large segments are CHUNKED — each step streams
+    a fixed-size window of one segment to its dense offset.  A chunk's
+    write offset and data offset both derive from the same clamped row
+    offset, so the overlapping tail chunk rewrites identical values, and
+    garbage beyond a segment's valid prefix always lands in positions
+    owned by later grid steps (sequential on-core), which overwrite it.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -117,13 +132,71 @@ def collapse_segments(
     nseg, seg = ops[0].shape
     if seg % LANES:
         raise ValueError("segment size must be a multiple of 128")
+    segrows = seg // LANES
+    budget_rows = max(64, _VMEM_BUDGET // (LANES * 4))
+    n_data = len(ops)
+
+    offsets = jnp.cumsum(seg_counts) - seg_counts              # (nseg,)
+
+    if segrows > budget_rows:
+        # chunked mode: grid over (segment, chunk); clamped overlap on the
+        # ragged tail keeps every block spec static
+        f = budget_rows
+        nch = -(-segrows // f)
+        s_idx = jnp.repeat(jnp.arange(nseg, dtype=jnp.int32), nch)
+        c_idx = jnp.tile(jnp.arange(nch, dtype=jnp.int32), nseg)
+        coff = jnp.minimum(c_idx * f, segrows - f)              # rows
+        cursor = offsets[s_idx] + coff * LANES
+        cnt = jnp.clip(
+            seg_counts[s_idx].astype(jnp.int32) - coff * LANES, 0, f * LANES
+        )
+        nsteps = nseg * nch
+        tbl = jnp.zeros((nsteps, LANES), jnp.int32)
+        tbl = tbl.at[:, 0].set(cursor >> 7)
+        tbl = tbl.at[:, 1].set(cursor & 127)
+        tbl = tbl.at[:, 2].set(cnt)
+        # source row of each chunk in the flat (nseg*segrows,) row space;
+        # the clamped tail offset is generally not a multiple of f, so the
+        # input stays in ANY memory and the window is DMA'd in-kernel
+        tbl = tbl.at[:, 3].set(s_idx * segrows + coff)
+        brows = f + 2
+        total_rows = -(-n_out // LANES) + brows
+        flat = [o.reshape(nseg * segrows, LANES) for o in ops]
+        out = pl.pallas_call(
+            functools.partial(
+                _collapse_chunk_kernel, n_data=n_data, f=f,
+                segrows=segrows,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)
+                for _ in range(n_data)
+            ],
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_data)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_data)
+            ],
+            scratch_shapes=[pltpu.VMEM((brows, LANES), jnp.uint32)
+                            for _ in range(n_data)]
+            + [pltpu.VMEM((f, LANES), jnp.uint32) for _ in range(n_data)]
+            + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_data)]
+            + [pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(tbl[:, None, :], *flat)
+        return [o.reshape(-1)[:n_out] for o in out]
+
     while nseg % group:
         group //= 2
-    segrows = seg // LANES
+    while group > 1 and group * segrows > budget_rows:
+        group //= 2
     nsteps = nseg // group
     brows = group * segrows + 2
 
-    offsets = jnp.cumsum(seg_counts) - seg_counts              # (nseg,)
     g_off = offsets[:: group]                                   # (nsteps,)
     tbl = jnp.zeros((nsteps, LANES), jnp.int32)
     tbl = tbl.at[:, 0].set(g_off >> 7)
@@ -132,7 +205,6 @@ def collapse_segments(
     tbl = tbl.at[:, 2 : 2 + group].set(counts_g.astype(jnp.int32))
 
     total_rows = nseg * segrows + brows
-    n_data = len(ops)
     shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
 
     out = pl.pallas_call(
@@ -164,3 +236,52 @@ def collapse_segments(
         interpret=interpret,
     )(tbl[:, None, :], *shaped)
     return [o.reshape(-1)[:n_out] for o in out]
+
+
+def _collapse_chunk_kernel(
+    tbl_ref, *refs, n_data: int, f: int, segrows: int
+):
+    """Chunked collapse step: stream one f-row window of one segment to its
+    dense output offset.  Input arrays live in ANY memory (the clamped
+    chunk row offset is not block-aligned); the window is DMA'd in.
+
+    tbl row: [row0, lane0, count, src_row, 0...].  count == 0 steps skip
+    their output write entirely (fully-invalid tail chunks)."""
+    ins = refs[:n_data]
+    outs = refs[n_data : 2 * n_data]
+    bufs = refs[2 * n_data : 3 * n_data]
+    winbufs = refs[3 * n_data : 4 * n_data]
+    rowbufs = refs[4 * n_data : 5 * n_data]
+    sem = refs[5 * n_data]
+
+    row0 = tbl_ref[0, 0, 0]
+    p = tbl_ref[0, 0, 1]
+    cnt = tbl_ref[0, 0, 2]
+    src_row = tbl_ref[0, 0, 3]
+    brows = f + 2
+
+    @pl.when(cnt > 0)
+    def _do():
+        for i in range(n_data):
+            cp_win = pltpu.make_async_copy(
+                ins[i].at[pl.ds(src_row, f), :], winbufs[i], sem
+            )
+            cp_win.start()
+            cp_win.wait()
+        for i in range(n_data):
+            cp_in = pltpu.make_async_copy(
+                outs[i].at[pl.ds(row0, 1), :], rowbufs[i], sem
+            )
+            cp_in.start()
+            cp_in.wait()
+            bufs[i][pl.ds(0, 1), :] = rowbufs[i][...]
+        for i in range(n_data):
+            _place(bufs[i], winbufs[i][...], p)
+        for i in range(n_data):
+            cp_out = pltpu.make_async_copy(
+                bufs[i].at[pl.ds(0, brows - 1), :],
+                outs[i].at[pl.ds(row0, brows - 1), :],
+                sem,
+            )
+            cp_out.start()
+            cp_out.wait()
