@@ -169,16 +169,19 @@ def main():
             # exact path the host-side fallback decision selects
             def ref(s):
                 return tpusort.sort(_hash_keys(s), algorithm="reference")
-            dt = _time(jax.jit(ref), 0, iters=args.iters) - overhead
-            verify_fn = jax.jit(lambda s: _checks(ref(s), _hash_keys(s)))
+            jref = jax.jit(ref)
+            dt = _time(jref, 0, iters=args.iters) - overhead
+            held = jref(0)
         else:
-            verify_fn = jax.jit(lambda s: _checks(fn(s)[0], _hash_keys(s)))
+            held = jfn(0)[0]
+        # verify the HELD device output with a checks-only graph — embedding
+        # the sort in the verify graph would recompile the whole pipeline
+        # (the r3 2^30 --verify stall: a second 2^30 pipeline compile)
+        verify_fn = jax.jit(lambda out, s: _checks(out, _hash_keys(s)))
+        verify_args = (held, 0)
         metric = "keys_per_sec_per_chip"
-        verify_args = (0,)
     elif args.pairs:
-        def _vrfy(k, v):
-            gk, gv = tpusort.sort(k, v, algorithm=args.algorithm,
-                                  stable=not args.unstable)
+        def _vrfy_out(gk, gv, k, v):
             return _checks(gk, k, gv, v, stable=not args.unstable)
 
         if gen_inside:
@@ -187,10 +190,12 @@ def main():
                 v = jnp.arange(n, dtype=jnp.uint32)
                 return tpusort.sort(k, v, algorithm=args.algorithm,
                                     stable=not args.unstable)
-            dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
-            verify_fn = jax.jit(lambda s: _vrfy(
-                _hash_keys(s), jnp.arange(n, dtype=jnp.uint32)))
-            verify_args = (0,)
+            jfn = jax.jit(fn)
+            dt = _time(jfn, 0, iters=args.iters) - overhead
+            hk, hv = jfn(0)
+            verify_fn = jax.jit(lambda gk, gv, s: _vrfy_out(
+                gk, gv, _hash_keys(s), jnp.arange(n, dtype=jnp.uint32)))
+            verify_args = (hk, hv, 0)
         else:
             keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
             vals = jnp.arange(n, dtype=jnp.uint32)
@@ -200,17 +205,20 @@ def main():
                 )
             )
             dt = _time(fn, keys, vals, iters=args.iters) - overhead
-            verify_fn = jax.jit(_vrfy)
-            verify_args = (keys, vals)
+            hk, hv = fn(keys, vals)
+            verify_fn = jax.jit(_vrfy_out)
+            verify_args = (hk, hv, keys, vals)
         metric = "pairs_per_sec_per_chip"
     else:
         if gen_inside:
             def fn(seed):
                 return tpusort.sort(_hash_keys(seed),
                                     algorithm=args.algorithm)
-            dt = _time(jax.jit(fn), 0, iters=args.iters) - overhead
-            verify_fn = jax.jit(lambda s: _checks(fn(s), _hash_keys(s)))
-            verify_args = (0,)
+            jfn = jax.jit(fn)
+            dt = _time(jfn, 0, iters=args.iters) - overhead
+            held = jfn(0)
+            verify_fn = jax.jit(lambda out, s: _checks(out, _hash_keys(s)))
+            verify_args = (held, 0)
         elif args.log2n <= 24:
             # small sizes: one sort is shorter than the host<->device sync
             # (~28 ms on the tunneled backend), so amortize REPS sequenced
@@ -231,10 +239,9 @@ def main():
             keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
             fn = jax.jit(lambda k: tpusort.sort(k, algorithm=args.algorithm))
             dt = _time(fn, keys, iters=args.iters) - overhead
-            verify_fn = jax.jit(
-                lambda k: _checks(tpusort.sort(k, algorithm=args.algorithm),
-                                  k))
-            verify_args = (keys,)
+            held = fn(keys)
+            verify_fn = jax.jit(_checks)
+            verify_args = (held, keys)
         metric = "keys_per_sec_per_chip"
 
     dt = max(dt, 1e-9)

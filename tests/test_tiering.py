@@ -102,3 +102,91 @@ def test_tier_equidepth_engaged():
 
     got = _with_cfg(cfg, run)
     np.testing.assert_array_equal(got, np_sort_oracle(np.asarray(keys)))
+
+
+class TestPresortedShortCircuit:
+    """Already-sorted identity short-circuit (the reference's finished
+    buckets skipping remaining passes, gpu_radix_sort.h:359-360,482-485):
+    a sorted or constant input must return unchanged without entering the
+    tier chain; a misleading sample (sorted sample, unsorted input) must
+    fall through to a correct sort."""
+
+    def _patch(self, monkeypatch, small_min_n=True):
+        from tpusort import api, planner
+
+        if small_min_n:
+            monkeypatch.setattr(planner, "PLANNER_MIN_N", 1 << 10)
+        calls = []
+        orig = api._run_tier_chain
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(api, "_run_tier_chain", spy)
+        return calls
+
+    @pytest.mark.parametrize("make", [
+        lambda n: np.sort(np.random.default_rng(0).integers(
+            0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)),
+        lambda n: np.full(n, 7, np.uint32),          # entropy-0 rung
+        lambda n: np.zeros(n, np.float32),
+    ])
+    def test_identity(self, monkeypatch, make):
+        calls = self._patch(monkeypatch)
+        k = jnp.asarray(make(1 << 12))
+        out = tpusort.sort(k, algorithm="msd")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(k))
+        assert not calls, "short-circuit must bypass the tier chain"
+
+    def test_identity_pairs(self, monkeypatch):
+        calls = self._patch(monkeypatch)
+        n = 1 << 12
+        k = jnp.asarray(np.sort(np.random.default_rng(1).integers(
+            0, 1000, n, dtype=np.int64).astype(np.int32)))
+        v = jnp.arange(n, dtype=jnp.uint32)
+        ok, ov = tpusort.sort(k, v, algorithm="msd")
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(k))
+        np.testing.assert_array_equal(np.asarray(ov), np.asarray(v))
+        assert not calls
+
+    def test_descending_presorted(self, monkeypatch):
+        calls = self._patch(monkeypatch)
+        n = 1 << 12
+        k = jnp.asarray(np.sort(np.random.default_rng(2).integers(
+            0, 1 << 32, n, dtype=np.uint64).astype(np.uint32))[::-1].copy())
+        out = tpusort.sort(k, algorithm="msd", descending=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(k))
+        assert not calls
+
+    def test_misleading_sample_falls_through(self, monkeypatch):
+        # sample (stride picks index 0 mod stride) sorted, full input not:
+        # device check must reject and the tier chain must run
+        from tpusort import planner
+
+        calls = self._patch(monkeypatch)
+        n = 1 << 12
+        stride = max(1, n // planner.SAMPLE_TARGET)
+        base = np.sort(np.random.default_rng(3).integers(
+            0, 1 << 31, n, dtype=np.uint64).astype(np.uint32))
+        base[1] = base[-1] + 1  # not sampled when stride > 1; breaks order
+        k = jnp.asarray(base)
+        out = tpusort.sort(k, algorithm="msd")
+        np.testing.assert_array_equal(np.asarray(out), np.sort(base))
+        if stride == 1:
+            assert calls  # sample saw the break; normal path
+        # (with stride > 1 either path is correct; output equality is the
+        # contract)
+
+    def test_sorted_planes_short_circuit(self, monkeypatch):
+        calls = self._patch(monkeypatch)
+        n = 1 << 12
+        rng = np.random.default_rng(4)
+        v64 = np.sort(rng.integers(0, 1 << 63, n, dtype=np.uint64))
+        hi = (v64 >> 32).astype(np.uint32)
+        lo = (v64 & 0xFFFFFFFF).astype(np.uint32)
+        out = tpusort.sort_planes((jnp.asarray(hi), jnp.asarray(lo)),
+                                  key_dtype="uint64", algorithm="msd")
+        np.testing.assert_array_equal(np.asarray(out[0]), hi)
+        np.testing.assert_array_equal(np.asarray(out[1]), lo)
+        assert not calls

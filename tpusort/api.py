@@ -276,6 +276,15 @@ def _planner_sample_impl(keys, stride: int, descending: bool):
     return jax.lax.slice(p0, (0,), (p0.shape[0],), (stride,))
 
 
+@functools.partial(jax.jit, static_argnames=("key_dtype", "descending"))
+def _twiddle_planes_full_impl(planes, key_dtype: str, descending: bool):
+    traits = _dtypes.traits_for(key_dtype)
+    return _dtypes.twiddle_planes_in(
+        tuple(jnp.asarray(p).view(jnp.uint32) for p in planes),
+        traits, descending=descending,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("stride", "key_dtype",
                                              "descending"))
 def _planner_sample_planes_impl(planes, stride: int, key_dtype: str,
@@ -288,7 +297,44 @@ def _planner_sample_planes_impl(planes, stride: int, key_dtype: str,
     return jax.lax.slice(tw[0], (0,), (tw[0].shape[0],), (stride,))
 
 
-def _skip_radix_tier(sample_fn, n, begin_bit, end_bit, total_bits,
+@functools.partial(jax.jit, static_argnames=("nplanes",))
+def _is_sorted_planes_impl(planes, nplanes: int):
+    """Lexicographic non-decreasing check over twiddled uint32 planes."""
+    lt = jnp.zeros(planes[0].shape[0] - 1, bool)
+    eq = jnp.ones(planes[0].shape[0] - 1, bool)
+    for p in planes[:nplanes]:
+        lt = lt | (eq & (p[:-1] < p[1:]))
+        eq = eq & (p[:-1] == p[1:])
+    return jnp.all(lt | eq)
+
+
+def _host_sample(sample_fn, n) -> Optional[np.ndarray]:
+    """Strided top-plane sample for the host pre-classifier, or None when
+    the problem is too small to be worth a host round trip."""
+    from tpusort import planner
+
+    if n < planner.PLANNER_MIN_N:
+        return None
+    stride = max(1, n // planner.SAMPLE_TARGET)
+    return np.asarray(sample_fn(stride))
+
+
+def _presorted_short_circuit(sample, twiddled_planes_fn, n) -> bool:
+    """Already-sorted identity short-circuit (the reference's finished
+    buckets skipping every remaining pass, gpu_radix_sort.h:359-360,
+    482-485, taken to the limit): if the strided sample is non-decreasing,
+    ONE device comparison pass decides whether the whole input already is
+    — then the sort is the identity (constant keys — the entropy-0 rung —
+    included).  Cost when mispredicted: ~2 ms + a sync."""
+    from tpusort import planner
+
+    if sample is None or not planner.predict_presorted([sample]):
+        return False
+    tw = twiddled_planes_fn()
+    return bool(np.asarray(_is_sorted_planes_impl(tw, len(tw))))
+
+
+def _skip_radix_tier(sample, n, begin_bit, end_bit, total_bits,
                      cfg) -> bool:
     """Host pre-classifier (the reference's CPU planner analog,
     gpu_radix_sort.cu:29-104): predict from a strided sample whether the
@@ -299,16 +345,12 @@ def _skip_radix_tier(sample_fn, n, begin_bit, end_bit, total_bits,
     from tpusort.ops import msd as _msd
 
     eb = total_bits if end_bit is None else end_bit
-    if begin_bit != 0 or eb != total_bits or n < planner.PLANNER_MIN_N:
+    if sample is None or begin_bit != 0 or eb != total_bits:
         return False
     kwargs = {k: v for k, v in cfg.plan_kwargs().items() if k != "min_n"}
     plan = _msd.plan_msd(n, 0, eb, **kwargs)
     if plan is None:
         return False
-    stride = max(1, n // planner.SAMPLE_TARGET)
-    import numpy as np
-
-    sample = np.asarray(sample_fn(stride))
     return planner.predict_radix_overflow(sample, plan, n)
 
 
@@ -326,17 +368,29 @@ def _run_tier_chain(impl, args, kw, cfg, skip_radix=False):
     return out_k, out_v
 
 
+@functools.partial(jax.jit, static_argnames=("descending",))
+def _twiddle_full_impl(keys, descending: bool):
+    planes, _ = _dtypes.twiddle_in(keys, descending=descending)
+    return planes
+
+
 def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
                       cfg):
     kw = dict(descending=descending, begin_bit=begin_bit, end_bit=end_bit,
               stable=stable, cfg=cfg)
+    n = keys.shape[0]
+    total_bits = _dtypes.key_bits(keys.dtype)
+    eb = total_bits if end_bit is None else end_bit
     skip = False
-    if "equidepth" in _tier_chain(cfg):
-        skip = _skip_radix_tier(
-            lambda stride: _planner_sample_impl(keys, stride, descending),
-            keys.shape[0], begin_bit, end_bit,
-            _dtypes.key_bits(keys.dtype), cfg,
-        )
+    if begin_bit == 0 and eb == total_bits:
+        sample = _host_sample(
+            lambda stride: _planner_sample_impl(keys, stride, descending), n)
+        if _presorted_short_circuit(
+                sample, lambda: _twiddle_full_impl(keys, descending), n):
+            return keys, vt
+        if "equidepth" in _tier_chain(cfg):
+            skip = _skip_radix_tier(sample, n, begin_bit, end_bit,
+                                    total_bits, cfg)
     return _run_tier_chain(_sort_tier_impl, (keys, vt), kw, cfg,
                            skip_radix=skip)
 
@@ -602,14 +656,25 @@ def sort_planes(
                   begin_bit=begin_bit, end_bit=end_bit,
                   stable=(stable and algorithm != "msd_unstable"), cfg=cfg)
         pt = tuple(planes)
+        n_pl = np.shape(pt[0])[0]
+        tb_pl = _dtypes.traits_for(key_dtype).bits
+        eb_pl = tb_pl if end_bit is None else end_bit
         skip = False
-        if "equidepth" in _tier_chain(cfg):
-            skip = _skip_radix_tier(
+        if begin_bit == 0 and eb_pl == tb_pl:
+            sample = _host_sample(
                 lambda stride: _planner_sample_planes_impl(
-                    pt, stride, key_dtype, descending),
-                np.shape(pt[0])[0], begin_bit, end_bit,
-                _dtypes.traits_for(key_dtype).bits, cfg,
-            )
+                    pt, stride, key_dtype, descending), n_pl)
+            if _presorted_short_circuit(
+                    sample,
+                    lambda: _twiddle_planes_full_impl(
+                        pt, key_dtype, descending),
+                    n_pl):
+                if not had:
+                    return pt
+                return pt, (vt[0] if single else vt)
+            if "equidepth" in _tier_chain(cfg):
+                skip = _skip_radix_tier(sample, n_pl, begin_bit, end_bit,
+                                        tb_pl, cfg)
         out_planes, out_vals = _run_tier_chain(
             _sort_planes_tier_impl, (pt, vt), kw, cfg, skip_radix=skip)
         if not had:

@@ -150,6 +150,16 @@ def _partner(x, j: int, t_layout: bool = False):
     return jnp.where(_bit(x.shape, j, t_layout) == 1, bwd, fwd)
 
 
+# XOR-flip comparator (r4): fold the stage's static direction mask into
+# the comparison itself — u = x ^ F, v = p ^ F with F = all-ones where the
+# element keeps the larger value (bitwise complement reverses unsigned
+# order), so take_mine = (u <= v) uniformly.  Replaces the two per-plane
+# direction pre-selects and, for single-key networks, the whole i32 mask
+# dance, with two XORs against a compile-time-constant vreg.  Tie
+# behavior is identical: both sides keep their own element.
+_XOR_COMPARATOR = True
+
+
 def _compare_exchange(arrays, j: int, k: int, num_keys: int = 1,
                       t_layout: bool = False):
     """One bitonic stage: partner distance 2^j inside 2^(k+1)-wide runs.
@@ -160,10 +170,30 @@ def _compare_exchange(arrays, j: int, k: int, num_keys: int = 1,
     """
     key = arrays[0]
     partners = [_partner(a, j, t_layout) for a in arrays]
+    bj = _bit(key.shape, j, t_layout)
+    bk1 = _bit(key.shape, k + 1, t_layout)
+    if _XOR_COMPARATOR:
+        # keep-larger elements (bit j != bit k+1) compare complemented
+        flip = jnp.uint32(0) - (bj ^ bk1).astype(jnp.uint32)
+        take_mine = None
+        take_i32 = None
+        for i in reversed(range(num_keys)):  # least-significant key first
+            u = arrays[i] ^ flip
+            v = partners[i] ^ flip
+            if num_keys == 1:
+                take_mine = u <= v
+            elif take_i32 is None:
+                take_i32 = jnp.where(u <= v, jnp.int32(1), jnp.int32(0))
+            else:
+                lt = jnp.where(u < v, jnp.int32(1), jnp.int32(0))
+                take_i32 = jnp.where(u == v, take_i32, lt)
+        if take_mine is None:
+            take_mine = take_i32 == 1
+        return [jnp.where(take_mine, a, pa)
+                for a, pa in zip(arrays, partners)]
     # is_low == asc  <=>  bit j of i == bit (k+1) of i.  Avoid bool-on-bool
     # ops (Mosaic cannot lower them); select u32/i32 operands instead.
-    fwd_dir = _bit(key.shape, j, t_layout) == _bit(key.shape, k + 1,
-                                                   t_layout)
+    fwd_dir = bj == bk1
     take_i32 = None
     for i in reversed(range(num_keys)):     # least-significant key first
         a = jnp.where(fwd_dir, arrays[i], partners[i])
@@ -317,28 +347,76 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
         # ascending 2^(a+2) run
         for j in range(a + 1, -1, -1):
             front = _compare_exchange(front, j, a + 1, num_keys, t_layout)
-    # final phase over 2*pow2ceil: descending second half is
-    # [0xFFFFFFFF pad | reversed last block]
-    pad_rows_ = (f - 1) * brows - brows  # pad to mirror the front size
-    pad_shape = (
-        (nb, LANES, pad_rows_) if t_layout else (nb, pad_rows_, LANES)
-    )
-    pad = []
-    for i in range(len(arrays)):
-        if i < num_keys:
-            pad.append(jnp.full(pad_shape, 0xFFFFFFFF, jnp.uint32))
-        else:
-            pad.append(jnp.zeros(pad_shape, arrays[i].dtype))
-    full = [
-        jnp.concatenate(
-            [fr, p, _reverse_within(b, blk, t_layout)], axis=blk_axis
-        )
-        for fr, p, b in zip(front, pad, back)
+    # cascade back-insertion (r4): instead of one padded final phase over
+    # [front | 0xFFFFFFFF pad | reversed back] (2*pow2ceil(f-1) blocks of
+    # live VMEM and (k_fin+1) stages mostly spent on pad slots — the very
+    # allocation that OOM'd multi-operand leaves at 2^28), merge the back
+    # block INTO the sorted front top-down: front blocks F_0 <= ... <=
+    # F_{f-2} (one sorted run), so bitonic-merging [F_i asc | work desc]
+    # emits its high block as final output and hands the low block down.
+    # Each step's low half is sorted DESCENDING in place (statically
+    # flipped directions), so no per-step reversal is needed — one
+    # reversal at entry (as before) and one for the lowest block.
+    work = [_reverse_within(b, blk, t_layout) for b in back]  # descending
+    pieces = [None] * f
+    for bi in reversed(range(f - 1)):
+        lo = bi * brows
+        pair = [
+            jnp.concatenate(
+                [_blk_slice(fr, lo, lo + brows), w], axis=blk_axis
+            )
+            for fr, w in zip(front, work)
+        ]
+        pair = _bitonic_split_merge(pair, a, num_keys, t_layout)
+        pieces[bi + 1] = [_blk_slice(x, brows, 2 * brows) for x in pair]
+        work = [_blk_slice(x, 0, brows) for x in pair]
+    pieces[0] = [_reverse_within(w, blk, t_layout) for w in work]
+    return [
+        jnp.concatenate([pieces[b][i] for b in range(f)], axis=blk_axis)
+        for i in range(len(arrays))
     ]
-    k_fin = a + (f - 1).bit_length() - 1  # f=3 -> a+1, f=5 -> a+2
-    for j in range(k_fin, -1, -1):
-        full = _compare_exchange(full, j, k_fin, num_keys, t_layout)
-    return [_blk_slice(x, 0, f * brows) for x in full]
+
+
+def _bitonic_split_merge(arrays, a: int, num_keys: int, t_layout: bool):
+    """Directed merge of a 2-block bitonic input [asc | desc] (block =
+    2^a elements): the high half comes out sorted ASCENDING, the low half
+    DESCENDING — the cascade's hand-me-down needs no reversal.  The split
+    stage keeps min/max by bit a; the per-half phases flip comparator
+    direction via the same XOR-fold the main comparator uses."""
+    shape = arrays[0].shape
+    ba = _bit(shape, a, t_layout)
+    arrays = _directed_exchange(arrays, a, ba, num_keys, t_layout)
+    for j in range(a - 1, -1, -1):
+        bj = _bit(shape, j, t_layout)
+        # high half (bit a = 1) ascending: flip where bit j = 1;
+        # low half descending: flip where bit j = 0
+        arrays = _directed_exchange(arrays, j, bj ^ ba ^ 1, num_keys,
+                                    t_layout)
+    return arrays
+
+
+def _directed_exchange(arrays, j: int, flip_bit, num_keys: int,
+                       t_layout: bool):
+    """Compare-exchange at distance 2^j with an explicit direction field:
+    element i keeps the SMALLER value iff flip_bit[i] == 0 (XOR-fold, see
+    ``_XOR_COMPARATOR``)."""
+    partners = [_partner(a, j, t_layout) for a in arrays]
+    flip = jnp.uint32(0) - flip_bit.astype(jnp.uint32)
+    take_mine = None
+    take_i32 = None
+    for i in reversed(range(num_keys)):
+        u = arrays[i] ^ flip
+        v = partners[i] ^ flip
+        if num_keys == 1:
+            take_mine = u <= v
+        elif take_i32 is None:
+            take_i32 = jnp.where(u <= v, jnp.int32(1), jnp.int32(0))
+        else:
+            lt = jnp.where(u < v, jnp.int32(1), jnp.int32(0))
+            take_i32 = jnp.where(u == v, take_i32, lt)
+    if take_mine is None:
+        take_mine = take_i32 == 1
+    return [jnp.where(take_mine, a, pa) for a, pa in zip(arrays, partners)]
 
 
 # backward-compatible name

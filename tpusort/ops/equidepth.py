@@ -55,6 +55,13 @@ from tpusort.ops.reference import sort_twiddled_reference
 
 __all__ = ["sort_twiddled_equidepth", "supports"]
 
+# Sample-size cap.  The in-graph sample sort is the tier's dominant fixed
+# cost (a 2^25 sample via the msd engine costs ~45 ms at 2^28 input); at
+# 2^22 the deepest-level quantile noise still clears the big-tile plan's
+# capacity after _widen_last (nq=1024: mean*(1+3.72*sqrt(nq/m)) + 6.5
+# sigma = 2004 <= s=2048 at 2^28), so a bigger sample buys nothing.
+_SAMPLE_CAP = 1 << 22
+
 
 def _widen_last(plan: "_msd.MsdPlan", n: int, m_sample: int,
                 leaf_max: int) -> "_msd.MsdPlan":
@@ -139,7 +146,7 @@ def _quantile_table(planes: Sequence[jax.Array], n: int, nq: int,
     import numpy as _np
 
     if sample_log2 is None:
-        target = max(1 << 16, min(1 << 25, n // 8))
+        target = max(1 << 16, min(_SAMPLE_CAP, n // 8))
     else:
         target = 1 << sample_log2
     stride = max(1, n // target)
@@ -369,7 +376,7 @@ def _prepare(n: int, plan_kwargs: Optional[dict]):
     if sample_log2 is not None:
         m_sample = 1 << sample_log2
     else:
-        m_sample = max(1 << 16, min(1 << 25, n // 8))
+        m_sample = max(1 << 16, min(_SAMPLE_CAP, n // 8))
     leaf_max = kwargs.get("leaf_max") or max(
         2 * kwargs.get("k", 1 << 14), 1 << 15
     )

@@ -200,8 +200,9 @@ def plan_msd(
             slots += (a + 1) * (f - 1) * blk              # phase a, front
             if f == 5:
                 slots += (a + 2) * 4 * blk                # phase a+1, front
-            k_fin = a + (f - 1).bit_length() - 1
-            slots += (k_fin + 1) * 2 * (f - 1) * blk      # final, padded
+            # cascade back-insertion: (f-1) directed 2-block merges of
+            # (a+1) stages each, plus ~2 block reversals
+            slots += (a + 1) * 2 * (f - 1) * blk + 2 * a * blk
             return float(slots)
         pow2 = 1 << (seg - 1).bit_length()
         return float(sum(range(c + 1, pow2.bit_length())) * pow2)

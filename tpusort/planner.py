@@ -26,7 +26,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["predict_radix_overflow", "PLANNER_MIN_N", "SAMPLE_TARGET"]
+__all__ = ["predict_radix_overflow", "predict_presorted",
+           "PLANNER_MIN_N", "SAMPLE_TARGET"]
 
 # Below this the radix attempt is cheap enough to just run (the sample
 # fetch + host sync would rival the sort itself).
@@ -41,6 +42,24 @@ _MASS_MARGIN = 0.85
 _SORTEDNESS_LIMIT = 0.95
 # Minimum samples per prefix bucket for the mass estimate to be usable.
 _MIN_SAMPLES_PER_BUCKET = 8
+
+
+def predict_presorted(samples: Sequence[np.ndarray]) -> bool:
+    """True if the strided sample is EXACTLY non-decreasing (lexicographic
+    over planes) — the trigger for the already-sorted short-circuit (one
+    cheap device-side full check, then identity).  The analog of the
+    reference's finished buckets skipping all remaining passes
+    (``msb/src/sort/gpu_radix_sort.h:359-360,482-485``) taken to its
+    limit: a globally sorted input (constant keys included — the entropy-0
+    ladder rung) costs one comparison pass, not a sort."""
+    if samples[0].size < 2:
+        return False
+    lt = np.zeros(samples[0].size - 1, bool)   # strictly less at a
+    eq = np.ones(samples[0].size - 1, bool)    # higher plane already
+    for s in samples:                          # most-significant first
+        lt = lt | (eq & (s[:-1] < s[1:]))
+        eq = eq & (s[:-1] == s[1:])
+    return bool(np.all(lt | eq))
 
 
 def sortedness(sample: np.ndarray) -> float:
