@@ -70,9 +70,9 @@ def verify_keys(keys, got) -> bool:
     return bool(jnp.array_equal(got.view(jnp.uint32), want.view(jnp.uint32)))
 
 
-def verify_planes(hi, lo, ghi, glo) -> bool:
+def verify_planes(hi, lo, ghi, glo, key_dtype="uint64") -> bool:
     whi, wlo = jax.jit(lambda h, l: tpusort.sort_planes(
-        (h, l), key_dtype="uint64", algorithm="reference"))(hi, lo)
+        (h, l), key_dtype=key_dtype, algorithm="reference"))(hi, lo)
     return bool(jnp.array_equal(ghi, whi) and jnp.array_equal(glo, wlo))
 
 
@@ -126,10 +126,13 @@ def main():
     for dtype, _ in rows:
         for entropy in args.entropies:
             _flush()
-            if dtype == "uint64":
+            if dtype in ("uint64", "int64", "float64"):
+                # 64-bit rows run through the plane interface (this
+                # backend cannot materialize 64-bit arrays); entropy-AND
+                # bit patterns double as the float64 NaN/denormal stress
                 hi, lo = _gen_planes(n, entropy)
-                fn = lambda h, l: tpusort.sort_planes(
-                    (h, l), key_dtype="uint64", algorithm=args.algorithm)
+                fn = lambda h, l, _d=dtype: tpusort.sort_planes(
+                    (h, l), key_dtype=_d, algorithm=args.algorithm)
                 with prof.run(dtype=dtype, entropy=entropy,
                               num_keys=n) as r:
                     dt = timing.measure_eager(fn, hi, lo,
@@ -138,8 +141,8 @@ def main():
                     r.set_metric("mkeys_per_s", n / dt / 1e6)
                     if not args.no_verify:
                         ghi, glo = fn(hi, lo)
-                        r.set_metric("verified",
-                                     verify_planes(hi, lo, ghi, glo))
+                        r.set_metric("verified", verify_planes(
+                            hi, lo, ghi, glo, dtype))
             elif dtype == "pairs":
                 keys = _gen_u32(n, entropy)
                 vals = jnp.arange(n, dtype=jnp.uint32)
