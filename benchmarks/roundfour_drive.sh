@@ -12,16 +12,17 @@ run() {
 
 T=120 run python -c "import jax,jax.numpy as jnp,numpy as np; print('TPU OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))" || exit 1
 
-# 1) XOR comparator A/B at the adopted geometry (old numbers in
-#    r4_decomp_pass0.log: net nb=2 = 111.55 ms)
-T=1500 run python benchmarks/pass_decomp.py --log2n 28
-
-# 2) headline + verify (also exercises the new checks-only verify graph)
+# 1) headline + verify (XOR comparator + cascade tail + deferred-DMA
+#    collapse all land here; old baseline 873 M keys/s)
 T=900 run python bench.py --verify
 T=900 run python bench.py --log2n 26 --verify
 
-# 3) sorted/constant input short-circuit on chip
+# 2) sorted/constant input short-circuit on chip
 T=600 run python benchmarks/shortcircuit_check.py
+
+# 3) XOR comparator A/B at the adopted geometry (old numbers in
+#    r4_decomp_pass0.log: net nb=2 = 111.55 ms)
+T=1500 run python benchmarks/pass_decomp.py --log2n 28
 
 # 4) equidepth attribution at 2^28 entropy-2 (sample cap 2^22 now)
 T=2400 run python benchmarks/equidepth_profile.py --log2n 28 --entropy 2

@@ -579,9 +579,16 @@ def _counts_sort_collapse_kernel(
 ):
     """Fused raw-key leaf sort + dense collapse: after sorting (garbage to
     the tile tail), each tile's valid prefix is streamed directly to its
-    dense global offset via the collapse write discipline (boundary-row
-    readback, rotate-place, overshoot-overwrite DMA) — the separate
-    collapse pass over the whole array disappears."""
+    dense global offset via the collapse write discipline.
+
+    r4 write pipeline: the stream buffer is double-buffered and the
+    output DMA's wait is DEFERRED to just before the NEXT step's start,
+    so the write overlaps the next tile's whole sort network.  The
+    boundary row (the partial last row the previous step placed) is
+    relayed through VMEM — buffer parity alternates every step and the
+    previous step's row offset delta comes from the table — replacing
+    the per-step HBM readback DMA.  Overlapping-row ordering between
+    consecutive output DMAs is guaranteed by that same deferred wait."""
     from tpusort.kernels.collapse import _place
 
     ins = refs[:n_ops]
@@ -589,8 +596,7 @@ def _counts_sort_collapse_kernel(
     tbl_ref = refs[n_ops + 1]
     outs = refs[n_ops + 2 : n_ops + 2 + n_ops]
     bufs = refs[n_ops + 2 + n_ops : n_ops + 2 + 2 * n_ops]
-    rowbufs = refs[n_ops + 2 + 2 * n_ops : n_ops + 2 + 3 * n_ops]
-    sem = refs[n_ops + 2 + 3 * n_ops]
+    sem = refs[n_ops + 2 + 2 * n_ops]
 
     arrays = [r[...] for r in ins]
     valid = _valid_from(cref, q, nb, rows, rows * LANES, None)
@@ -600,29 +606,49 @@ def _counts_sort_collapse_kernel(
     arrays = _leaf_network(arrays, pad_rows=pad_rows,
                            sorted_run=sorted_run, num_keys=num_keys)
 
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     row0 = tbl_ref[0, 0, 0]
     p = tbl_ref[0, 0, 1]
+    delta = tbl_ref[0, 0, 2 + nb]          # row0 - previous step's row0
     brows = nb * rows + 2
+    cur = jnp.int32(step) % jnp.int32(2)
+    prev = jnp.int32(1) - cur
+
+    # boundary row via VMEM relay from the previous step's buffer (its
+    # content before the cursor is exactly what the HBM row holds)
     for i in range(n_ops):
-        cp_in = pltpu.make_async_copy(
-            outs[i].at[pl.ds(row0, 1), :], rowbufs[i], sem
-        )
-        cp_in.start()
-        cp_in.wait()
-        bufs[i][pl.ds(0, 1), :] = rowbufs[i][...]
+        bufs[i][pl.ds(cur * brows, 1), :] = bufs[i][
+            pl.ds(prev * brows + delta, 1), :
+        ]
     for i in range(n_ops):
         cursor = p
         for b in range(nb):
-            _place(bufs[i], arrays[i][b, :rows], cursor)
+            _place(bufs[i].at[pl.ds(cur * brows, brows)],
+                   arrays[i][b, :rows], cursor)
             cursor = cursor + tbl_ref[0, 0, 2 + b]
-    for i in range(n_ops):
-        cp_out = pltpu.make_async_copy(
-            bufs[i].at[pl.ds(0, brows - 1), :],
+
+    def _copy(i):
+        return pltpu.make_async_copy(
+            bufs[i].at[pl.ds(cur * brows, brows - 1), :],
             outs[i].at[pl.ds(row0, brows - 1), :],
             sem,
         )
-        cp_out.start()
-        cp_out.wait()
+
+    @pl.when(step > 0)
+    def _wait_prev():
+        # previous step's copy: same byte count, so a same-shape
+        # descriptor waits it regardless of its (different) offsets
+        for i in range(n_ops):
+            _copy(i).wait()
+
+    for i in range(n_ops):
+        _copy(i).start()
+
+    @pl.when(step == nsteps - 1)
+    def _final_wait():
+        for i in range(n_ops):
+            _copy(i).wait()
 
 
 def sort_tiles_counts_collapsed(
@@ -662,13 +688,19 @@ def sort_tiles_counts_collapsed(
     offsets = jnp.cumsum(tile_counts) - tile_counts
     nsteps = T // nb
     brows = nb * rows + 2
-    if nb + 2 > LANES:
+    if nb + 3 > LANES:
         raise ValueError("batch too large for the offset table row")
     g_off = offsets[::nb]
+    rows0 = g_off >> 7
     tbl = jnp.zeros((nsteps, LANES), jnp.int32)
-    tbl = tbl.at[:, 0].set(g_off >> 7)
+    tbl = tbl.at[:, 0].set(rows0)
     tbl = tbl.at[:, 1].set(g_off & 127)
     tbl = tbl.at[:, 2 : 2 + nb].set(tile_counts.reshape(nsteps, nb))
+    # boundary-relay delta: this step's output row minus the previous
+    # step's (step 0: unused, lane offset there is 0)
+    tbl = tbl.at[:, 2 + nb].set(
+        rows0 - jnp.concatenate([rows0[:1], rows0[:-1]])
+    )
     total_rows = -(-n_out // LANES) + brows
 
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
@@ -690,9 +722,8 @@ def sort_tiles_counts_collapsed(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_ops)],
-        scratch_shapes=[pltpu.VMEM((brows, LANES), jnp.uint32)
+        scratch_shapes=[pltpu.VMEM((2 * brows, LANES), jnp.uint32)
                         for _ in range(n_ops)]
-        + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_ops)]
         + [pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

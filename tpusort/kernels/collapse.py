@@ -54,48 +54,62 @@ def _collapse_kernel(
     tbl_ref, *refs, n_data: int, g: int, segrows: int
 ):
     # refs = [data_in x n_data (1, g*segrows, 128)] + [out x n_data (ANY)]
-    #        + scratch: [B x n_data, rowbuf x n_data, sems]
+    #        + scratch: [B x n_data (double-buffered), sem]
+    #
+    # r4 write pipeline (see bitonic._counts_sort_collapse_kernel): the
+    # output DMA's wait is deferred to just before the next step's start,
+    # and the boundary row is relayed through the previous step's (still
+    # readable) stream buffer instead of an HBM readback.
     ins = refs[:n_data]
     outs = refs[n_data : 2 * n_data]
     bufs = refs[2 * n_data : 3 * n_data]
-    rowbufs = refs[3 * n_data : 4 * n_data]
-    sem = refs[4 * n_data]
+    sem = refs[3 * n_data]
 
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     row0 = tbl_ref[0, 0, 0]
     p = tbl_ref[0, 0, 1]
+    delta = tbl_ref[0, 0, 2 + g]
     brows = g * segrows + 2
+    cur = jnp.int32(step) % jnp.int32(2)
+    prev = jnp.int32(1) - cur
 
+    # 1. boundary row via VMEM relay from the previous step's buffer
     for i in range(n_data):
-        # 1. read back the boundary row already written at row0
-        cp_in = pltpu.make_async_copy(
-            outs[i].at[pl.ds(row0, 1), :], rowbufs[i], sem
-        )
-        cp_in.start()
-        cp_in.wait()
-        bufs[i][pl.ds(0, 1), :] = rowbufs[i][...]
+        bufs[i][pl.ds(cur * brows, 1), :] = bufs[i][
+            pl.ds(prev * brows + delta, 1), :
+        ]
 
     # 2. concatenate valid prefixes
-    def body(i):
+    for i in range(n_data):
         cursor = p
         for s in range(g):
             c_s = tbl_ref[0, 0, 2 + s]
             src = ins[i][0, s * segrows : (s + 1) * segrows]
-            _place(bufs[i], src, cursor)
+            _place(bufs[i].at[pl.ds(cur * brows, brows)], src, cursor)
             cursor = cursor + c_s
-        return cursor
 
-    for i in range(n_data):
-        body(i)
-
-    # 3. write the stream (overshoot garbage is overwritten by next step)
-    for i in range(n_data):
-        cp_out = pltpu.make_async_copy(
-            bufs[i].at[pl.ds(0, brows - 1), :],
+    # 3. write the stream (overshoot garbage is overwritten by the next
+    # step's copy, ordered by the deferred wait below)
+    def _copy(i):
+        return pltpu.make_async_copy(
+            bufs[i].at[pl.ds(cur * brows, brows - 1), :],
             outs[i].at[pl.ds(row0, brows - 1), :],
             sem,
         )
-        cp_out.start()
-        cp_out.wait()
+
+    @pl.when(step > 0)
+    def _wait_prev():
+        for i in range(n_data):
+            _copy(i).wait()          # same byte count as the prior copy
+
+    for i in range(n_data):
+        _copy(i).start()
+
+    @pl.when(step == nsteps - 1)
+    def _final_wait():
+        for i in range(n_data):
+            _copy(i).wait()
 
 
 # VMEM budget per operand for the stream buffer + input block (bytes).
@@ -198,11 +212,17 @@ def collapse_segments(
     brows = group * segrows + 2
 
     g_off = offsets[:: group]                                   # (nsteps,)
+    rows0 = g_off >> 7
     tbl = jnp.zeros((nsteps, LANES), jnp.int32)
-    tbl = tbl.at[:, 0].set(g_off >> 7)
+    tbl = tbl.at[:, 0].set(rows0)
     tbl = tbl.at[:, 1].set(g_off & 127)
     counts_g = seg_counts.reshape(nsteps, group)
     tbl = tbl.at[:, 2 : 2 + group].set(counts_g.astype(jnp.int32))
+    if group + 3 > LANES:
+        raise ValueError("group too large for the offset table row")
+    tbl = tbl.at[:, 2 + group].set(
+        rows0 - jnp.concatenate([rows0[:1], rows0[:-1]])
+    )
 
     total_rows = nseg * segrows + brows
     shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
@@ -228,9 +248,8 @@ def collapse_segments(
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_data)
         ],
-        scratch_shapes=[pltpu.VMEM((brows, LANES), jnp.uint32)
+        scratch_shapes=[pltpu.VMEM((2 * brows, LANES), jnp.uint32)
                         for _ in range(n_data)]
-        + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_data)]
         + [pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

@@ -176,11 +176,13 @@ def plan_msd(
         )
 
     # Non-network per-pass cost (emit window slices + starts compare-reduces
-    # + the HBM round trip between passes), in compare-exchange
-    # stage-equivalents per element.  Calibrated on v5e: pass_full k=16384
-    # minus the bare network = ~58 ps/elem over ~2.4 ps/stage.
-    _OH_PASS = 24.0
-    _OH_LEAF = 10.0      # fused leaf+collapse write discipline
+    # + exchanged-out write), in compare-exchange stage-equivalents per
+    # element.  Re-calibrated r4 (benchmarks/pass_decomp.py at the adopted
+    # k=65536 geometry, 2^28): stage price 2.39 ps/elem; starts +6.4 ms,
+    # exchanged write +5 ms per pass = ~43 ps = ~18 slots; the fused
+    # leaf+collapse runs ~17-22 ms over its slot model = ~20 slots.
+    _OH_PASS = 18.0
+    _OH_LEAF = 20.0      # fused leaf+collapse write discipline
 
     def _leaf_slots(seg: int, run: int) -> float:
         """Exact compare-exchange stage-slots (stages x elements) of the
