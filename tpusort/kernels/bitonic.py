@@ -624,8 +624,8 @@ def _counts_sort_collapse_kernel(
     for i in range(n_ops):
         cursor = p
         for b in range(nb):
-            _place(bufs[i].at[pl.ds(cur * brows, brows)],
-                   arrays[i][b, :rows], cursor)
+            _place(bufs[i], arrays[i][b, :rows], cursor,
+                   base=cur * brows)
             cursor = cursor + tbl_ref[0, 0, 2 + b]
 
     def _copy(i):

@@ -33,11 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusort.kernels.bitonic import LANES
 
 
-def _place(b_ref, src: jax.Array, cursor) -> None:
+def _place(b_ref, src: jax.Array, cursor, base=0) -> None:
     """Write src (rows, 128) into stream buffer b_ref at element offset
-    ``cursor``, preserving b_ref content before the cursor."""
+    ``cursor`` (+ ``base`` whole rows — the double-buffer half offset),
+    preserving b_ref content before the cursor."""
     rows = src.shape[0]
-    r0 = cursor >> 7
+    r0 = base + (cursor >> 7)
     l0 = cursor & 127
     # rot[i, j] = src[i, (j - l0) mod 128]
     rot = pltpu.roll(src, l0, axis=1)
@@ -86,7 +87,7 @@ def _collapse_kernel(
         for s in range(g):
             c_s = tbl_ref[0, 0, 2 + s]
             src = ins[i][0, s * segrows : (s + 1) * segrows]
-            _place(bufs[i].at[pl.ds(cur * brows, brows)], src, cursor)
+            _place(bufs[i], src, cursor, base=cur * brows)
             cursor = cursor + c_s
 
     # 3. write the stream (overshoot garbage is overwritten by the next
