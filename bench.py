@@ -164,7 +164,8 @@ def main():
 
         jfn = jax.jit(fn)
         dt = _time(jfn, 0, iters=args.iters) - overhead
-        if bool(jfn(0)[1]):
+        held, ovf = jfn(0)          # one run binds both outputs
+        if bool(ovf):
             # pathological distribution: report (and verify) the honest
             # exact path the host-side fallback decision selects
             def ref(s):
@@ -172,8 +173,6 @@ def main():
             jref = jax.jit(ref)
             dt = _time(jref, 0, iters=args.iters) - overhead
             held = jref(0)
-        else:
-            held = jfn(0)[0]
         # verify the HELD device output with a checks-only graph — embedding
         # the sort in the verify graph would recompile the whole pipeline
         # (the r3 2^30 --verify stall: a second 2^30 pipeline compile)

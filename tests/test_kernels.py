@@ -189,21 +189,27 @@ def test_collapse_segments_chunked(monkeypatch, n_data):
     rng = np.random.default_rng(7)
     nseg, segrows = 5, 10            # seg = 1280 elements
     seg = segrows * LANES
-    # budget 3 rows -> f=3, nch=4, last chunk clamped (coff=7, not 9)
+    # budget floors at 8 rows -> f=8, nch=2, tail chunk clamped (coff=2)
     monkeypatch.setattr(kc, "_VMEM_BUDGET", 3 * LANES * 4)
+    assert max(8, (3 * LANES * 4) // (LANES * 4)) < segrows, \
+        "test must exercise the chunked path"
     ops = [
         rng.integers(0, 1 << 32, (nseg, seg), dtype=np.uint64)
         .astype(np.uint32)
         for _ in range(n_data)
     ]
     counts = np.array([seg, 0, 517, 1, 1280 - 129], np.int32)
-    n_out = int(counts.sum())
-    got = kc.collapse_segments(
-        [jnp.asarray(o) for o in ops], jnp.asarray(counts), n_out,
-        interpret=True)
-    for o, g in zip(ops, got):
-        want = np.concatenate([o[s, :counts[s]] for s in range(nseg)])
-        np.testing.assert_array_equal(np.asarray(g), want)
+    full = int(counts.sum())
+    # the documented contract allows sum(seg_counts) > n_out: trailing
+    # chunks past n_out must be dropped, not written out of bounds
+    for n_out in (full, full - 700):
+        got = kc.collapse_segments(
+            [jnp.asarray(o) for o in ops], jnp.asarray(counts), n_out,
+            interpret=True)
+        for o, g in zip(ops, got):
+            want = np.concatenate(
+                [o[s, :counts[s]] for s in range(nseg)])[:n_out]
+            np.testing.assert_array_equal(np.asarray(g), want)
 
 
 def test_collapse_segments_group_budget(monkeypatch):
@@ -213,7 +219,8 @@ def test_collapse_segments_group_budget(monkeypatch):
     rng = np.random.default_rng(8)
     nseg, segrows = 8, 2
     seg = segrows * LANES
-    monkeypatch.setattr(kc, "_VMEM_BUDGET", 4 * LANES * 4)  # group <= 2
+    # budget floors at 8 rows: group 8 x 2 rows > 8 -> shrinks to 4
+    monkeypatch.setattr(kc, "_VMEM_BUDGET", 4 * LANES * 4)
     ops = [rng.integers(0, 1 << 32, (nseg, seg), dtype=np.uint64)
            .astype(np.uint32)]
     counts = rng.integers(0, seg + 1, (nseg,)).astype(np.int32)

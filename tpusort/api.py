@@ -276,15 +276,6 @@ def _planner_sample_impl(keys, stride: int, descending: bool):
     return jax.lax.slice(p0, (0,), (p0.shape[0],), (stride,))
 
 
-@functools.partial(jax.jit, static_argnames=("key_dtype", "descending"))
-def _twiddle_planes_full_impl(planes, key_dtype: str, descending: bool):
-    traits = _dtypes.traits_for(key_dtype)
-    return _dtypes.twiddle_planes_in(
-        tuple(jnp.asarray(p).view(jnp.uint32) for p in planes),
-        traits, descending=descending,
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("stride", "key_dtype",
                                              "descending"))
 def _planner_sample_planes_impl(planes, stride: int, key_dtype: str,
@@ -297,15 +288,33 @@ def _planner_sample_planes_impl(planes, stride: int, key_dtype: str,
     return jax.lax.slice(tw[0], (0,), (tw[0].shape[0],), (stride,))
 
 
-@functools.partial(jax.jit, static_argnames=("nplanes",))
-def _is_sorted_planes_impl(planes, nplanes: int):
+def _lex_sorted(planes):
     """Lexicographic non-decreasing check over twiddled uint32 planes."""
     lt = jnp.zeros(planes[0].shape[0] - 1, bool)
     eq = jnp.ones(planes[0].shape[0] - 1, bool)
-    for p in planes[:nplanes]:
+    for p in planes:
         lt = lt | (eq & (p[:-1] < p[1:]))
         eq = eq & (p[:-1] == p[1:])
     return jnp.all(lt | eq)
+
+
+@functools.partial(jax.jit, static_argnames=("descending",))
+def _is_sorted_keys_impl(keys, descending: bool):
+    """Fused twiddle + sortedness -> scalar (no full-size twiddled
+    intermediate is ever committed; XLA fuses the twiddle into the
+    reduction — at 2^30 a materialized plane would be ~4 GB of HBM)."""
+    planes, _ = _dtypes.twiddle_in(keys, descending=descending)
+    return _lex_sorted(planes)
+
+
+@functools.partial(jax.jit, static_argnames=("key_dtype", "descending"))
+def _is_sorted_planes_impl(planes, key_dtype: str, descending: bool):
+    traits = _dtypes.traits_for(key_dtype)
+    tw = _dtypes.twiddle_planes_in(
+        tuple(jnp.asarray(p).view(jnp.uint32) for p in planes),
+        traits, descending=descending,
+    )
+    return _lex_sorted(tw)
 
 
 def _host_sample(sample_fn, n) -> Optional[np.ndarray]:
@@ -319,19 +328,19 @@ def _host_sample(sample_fn, n) -> Optional[np.ndarray]:
     return np.asarray(sample_fn(stride))
 
 
-def _presorted_short_circuit(sample, twiddled_planes_fn, n) -> bool:
+def _presorted_short_circuit(sample, check_fn) -> bool:
     """Already-sorted identity short-circuit (the reference's finished
     buckets skipping every remaining pass, gpu_radix_sort.h:359-360,
     482-485, taken to the limit): if the strided sample is non-decreasing,
-    ONE device comparison pass decides whether the whole input already is
-    — then the sort is the identity (constant keys — the entropy-0 rung —
+    ONE device comparison pass (``check_fn`` — a fused twiddle+reduce
+    returning a scalar) decides whether the whole input already is — then
+    the sort is the identity (constant keys — the entropy-0 rung —
     included).  Cost when mispredicted: ~2 ms + a sync."""
     from tpusort import planner
 
     if sample is None or not planner.predict_presorted([sample]):
         return False
-    tw = twiddled_planes_fn()
-    return bool(np.asarray(_is_sorted_planes_impl(tw, len(tw))))
+    return bool(np.asarray(check_fn()))
 
 
 def _skip_radix_tier(sample, n, begin_bit, end_bit, total_bits,
@@ -368,12 +377,6 @@ def _run_tier_chain(impl, args, kw, cfg, skip_radix=False):
     return out_k, out_v
 
 
-@functools.partial(jax.jit, static_argnames=("descending",))
-def _twiddle_full_impl(keys, descending: bool):
-    planes, _ = _dtypes.twiddle_in(keys, descending=descending)
-    return planes
-
-
 def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
                       cfg):
     kw = dict(descending=descending, begin_bit=begin_bit, end_bit=end_bit,
@@ -386,7 +389,7 @@ def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
         sample = _host_sample(
             lambda stride: _planner_sample_impl(keys, stride, descending), n)
         if _presorted_short_circuit(
-                sample, lambda: _twiddle_full_impl(keys, descending), n):
+                sample, lambda: _is_sorted_keys_impl(keys, descending)):
             return keys, vt
         if "equidepth" in _tier_chain(cfg):
             skip = _skip_radix_tier(sample, n, begin_bit, end_bit,
@@ -666,12 +669,16 @@ def sort_planes(
                     pt, stride, key_dtype, descending), n_pl)
             if _presorted_short_circuit(
                     sample,
-                    lambda: _twiddle_planes_full_impl(
-                        pt, key_dtype, descending),
-                    n_pl):
+                    lambda: _is_sorted_planes_impl(
+                        pt, key_dtype, descending)):
+                # match the normal path's output type exactly (uint32
+                # jax arrays), whatever array-likes the caller passed
+                out_id = tuple(
+                    jnp.asarray(p).view(jnp.uint32) for p in pt
+                )
                 if not had:
-                    return pt
-                return pt, (vt[0] if single else vt)
+                    return out_id
+                return out_id, (vt[0] if single else vt)
             if "equidepth" in _tier_chain(cfg):
                 skip = _skip_radix_tier(sample, n_pl, begin_bit, end_bit,
                                         tb_pl, cfg)

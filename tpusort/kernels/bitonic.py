@@ -150,61 +150,23 @@ def _partner(x, j: int, t_layout: bool = False):
     return jnp.where(_bit(x.shape, j, t_layout) == 1, bwd, fwd)
 
 
-# XOR-flip comparator (r4): fold the stage's static direction mask into
-# the comparison itself — u = x ^ F, v = p ^ F with F = all-ones where the
-# element keeps the larger value (bitwise complement reverses unsigned
-# order), so take_mine = (u <= v) uniformly.  Replaces the two per-plane
-# direction pre-selects and, for single-key networks, the whole i32 mask
-# dance, with two XORs against a compile-time-constant vreg.  Tie
-# behavior is identical: both sides keep their own element.
-_XOR_COMPARATOR = True
-
-
 def _compare_exchange(arrays, j: int, k: int, num_keys: int = 1,
                       t_layout: bool = False):
     """One bitonic stage: partner distance 2^j inside 2^(k+1)-wide runs.
 
-    ``num_keys``: leading operands compared lexicographically (e.g. 2 for
-    64-bit keys as (hi, lo) planes).  On full-tie both sides keep their own
-    element, so payload selects stay complementary (no dup/loss).
+    XOR-fold comparator (r4): the stage's static direction is folded into
+    the comparison itself — elements whose bit j differs from bit k+1
+    keep the LARGER value, and bitwise complement reverses unsigned
+    order, so ``take_mine = (x^F) <= (p^F)`` with F the direction mask.
+    Replaces the two per-plane direction pre-selects (and, single-key,
+    the whole i32 mask dance) with XORs against a compile-time-constant
+    vreg.  ``num_keys``: leading operands compared lexicographically
+    (e.g. 2 for 64-bit keys as (hi, lo) planes).  On full-tie both sides
+    keep their own element, so payload selects stay complementary.
     """
-    key = arrays[0]
-    partners = [_partner(a, j, t_layout) for a in arrays]
-    bj = _bit(key.shape, j, t_layout)
-    bk1 = _bit(key.shape, k + 1, t_layout)
-    if _XOR_COMPARATOR:
-        # keep-larger elements (bit j != bit k+1) compare complemented
-        flip = jnp.uint32(0) - (bj ^ bk1).astype(jnp.uint32)
-        take_mine = None
-        take_i32 = None
-        for i in reversed(range(num_keys)):  # least-significant key first
-            u = arrays[i] ^ flip
-            v = partners[i] ^ flip
-            if num_keys == 1:
-                take_mine = u <= v
-            elif take_i32 is None:
-                take_i32 = jnp.where(u <= v, jnp.int32(1), jnp.int32(0))
-            else:
-                lt = jnp.where(u < v, jnp.int32(1), jnp.int32(0))
-                take_i32 = jnp.where(u == v, take_i32, lt)
-        if take_mine is None:
-            take_mine = take_i32 == 1
-        return [jnp.where(take_mine, a, pa)
-                for a, pa in zip(arrays, partners)]
-    # is_low == asc  <=>  bit j of i == bit (k+1) of i.  Avoid bool-on-bool
-    # ops (Mosaic cannot lower them); select u32/i32 operands instead.
-    fwd_dir = bj == bk1
-    take_i32 = None
-    for i in reversed(range(num_keys)):     # least-significant key first
-        a = jnp.where(fwd_dir, arrays[i], partners[i])
-        b = jnp.where(fwd_dir, partners[i], arrays[i])
-        if take_i32 is None:
-            take_i32 = jnp.where(a <= b, jnp.int32(1), jnp.int32(0))
-        else:
-            lt = jnp.where(a < b, jnp.int32(1), jnp.int32(0))
-            take_i32 = jnp.where(a == b, take_i32, lt)
-    take_mine = take_i32 == 1
-    return [jnp.where(take_mine, a, pa) for a, pa in zip(arrays, partners)]
+    shape = arrays[0].shape
+    flip_bit = _bit(shape, j, t_layout) ^ _bit(shape, k + 1, t_layout)
+    return _directed_exchange(arrays, j, flip_bit, num_keys, t_layout)
 
 
 def _t_layout_ok(rows: int, lanes: int = LANES) -> bool:

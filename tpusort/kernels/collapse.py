@@ -148,7 +148,7 @@ def collapse_segments(
     if seg % LANES:
         raise ValueError("segment size must be a multiple of 128")
     segrows = seg // LANES
-    budget_rows = max(64, _VMEM_BUDGET // (LANES * 4))
+    budget_rows = max(8, _VMEM_BUDGET // (LANES * 4))
     n_data = len(ops)
 
     offsets = jnp.cumsum(seg_counts) - seg_counts              # (nseg,)
@@ -180,7 +180,7 @@ def collapse_segments(
         out = pl.pallas_call(
             functools.partial(
                 _collapse_chunk_kernel, n_data=n_data, f=f,
-                segrows=segrows,
+                segrows=segrows, rows_limit=-(-n_out // LANES),
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)
@@ -259,14 +259,17 @@ def collapse_segments(
 
 
 def _collapse_chunk_kernel(
-    tbl_ref, *refs, n_data: int, f: int, segrows: int
+    tbl_ref, *refs, n_data: int, f: int, segrows: int, rows_limit: int
 ):
     """Chunked collapse step: stream one f-row window of one segment to its
     dense output offset.  Input arrays live in ANY memory (the clamped
     chunk row offset is not block-aligned); the window is DMA'd in.
 
     tbl row: [row0, lane0, count, src_row, 0...].  count == 0 steps skip
-    their output write entirely (fully-invalid tail chunks)."""
+    their output write entirely (fully-invalid tail chunks), as do steps
+    whose output row exceeds ``rows_limit`` (the documented contract
+    allows sum(seg_counts) > n_out — data past n_out is droppable, and
+    writing it would overrun the ceil(n_out/128)-row output)."""
     ins = refs[:n_data]
     outs = refs[n_data : 2 * n_data]
     bufs = refs[2 * n_data : 3 * n_data]
@@ -280,7 +283,7 @@ def _collapse_chunk_kernel(
     src_row = tbl_ref[0, 0, 3]
     brows = f + 2
 
-    @pl.when(cnt > 0)
+    @pl.when((cnt > 0) & (row0 <= rows_limit))
     def _do():
         for i in range(n_data):
             cp_win = pltpu.make_async_copy(
