@@ -230,3 +230,30 @@ def test_collapse_segments_group_budget(monkeypatch):
         interpret=True)
     want = np.concatenate([ops[0][s, :counts[s]] for s in range(nseg)])
     np.testing.assert_array_equal(np.asarray(got[0])[:n_out], want)
+
+
+@pytest.mark.parametrize("k,run", [(384, 128), (640, 128)])
+def test_staged_fpow2_merge_multikey_payload(k, run):
+    """Cascade back-insertion with lexicographic keys + payload: heavy
+    hi-plane ties exercise the directed-merge multi-key fold; the payload
+    must stay bound to its (hi, lo) key through every select."""
+    rng = np.random.default_rng(1000 + k)
+    hi = rng.integers(0, 3, (2, k), dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, (2, k), dtype=np.uint64).astype(np.uint32)
+    # per-run lexicographic pre-sort
+    comp = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    comp = np.sort(comp.reshape(2, k // run, run), axis=2).reshape(2, k)
+    hi_s = (comp >> np.uint64(32)).astype(np.uint32)
+    lo_s = (comp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pay = lo_s ^ np.uint32(0xABCD1234)          # payload derivable from key
+    got = _run_net(
+        lambda a: kb._merge_sorted_runs_fpow2(a, run, num_keys=2),
+        [jnp.asarray(hi_s), jnp.asarray(lo_s), jnp.asarray(pay)],
+    )
+    want = np.sort(comp, axis=1)
+    gc = (np.asarray(got[0]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(got[1]).astype(np.uint64)
+    np.testing.assert_array_equal(gc, want)
+    # payload binding: pay == lo ^ const must hold slot-wise after the sort
+    np.testing.assert_array_equal(
+        np.asarray(got[2]), np.asarray(got[1]) ^ np.uint32(0xABCD1234))
