@@ -75,10 +75,18 @@ def main():
               eq._quantile_table((k,), n, nq).q)[0],
           keys)
 
-    q = jax.jit(lambda k: eq._quantile_table((k,), n, nq).__dict__)(keys)
-    table = eq._EqTable(
-        [q["q"][0]] if not isinstance(q["q"], list) else q["q"],
-        q["lo"], q["hi"], q["ranks"], q["m"])
+    def _tbl(k):
+        t = eq._quantile_table((k,), n, nq)
+        return t.q[0], t.lo, t.hi
+    tq, tlo, thi = jax.jit(_tbl)(keys)
+    # static rank table mirrors _quantile_table's own construction
+    target = max(1 << 16, min(eq._SAMPLE_CAP, n // 8))
+    stride = max(1, n // target)
+    m = -(-n // stride)
+    ranks = np.fromiter(
+        (min(i * m // (nq + 1), m - 1) for i in range(1, nq + 1)),
+        dtype=np.int32, count=nq)
+    table = eq._EqTable([tq], tlo, thi, ranks, m)
 
     # strided tile assignment alone
     k0 = plan.passes[0].k

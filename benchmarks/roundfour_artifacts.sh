@@ -51,4 +51,11 @@ T=2400 run python bench.py --log2n 30 --verify
 # headline snapshot
 T=900 run python bench.py --verify
 
+# reference-parity driver rows + supporting artifacts
+T=1500 run python benchmarks/driver_lsb.py
+T=2400 run python benchmarks/size_sweep.py
+T=1800 run python benchmarks/skew_bench.py
+T=1500 run python benchmarks/segmented_bench.py
+T=1200 run python bench.py --log2n 29 --verify
+
 echo "=== roundfour artifacts complete $(date) ===" | tee -a "$LOG"

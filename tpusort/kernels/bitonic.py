@@ -101,27 +101,32 @@ def _valid_from(
     return (base + off + pos) < n
 
 
-def _bit(shape, bit: int, t_layout: bool = False):
+def _bit(shape, bit: int, t_layout: int = 0):
     """Int32 (..., ROWS, LANES) array: tile-linear-index bit ``bit``.
 
-    Leading batch dims (independent tiles) broadcast.  Two physical
+    Leading batch dims (independent tiles) broadcast.  The physical
     layouts carry the same linear element order i:
 
-    * default: element i at (row = i >> 7, lane = i & 127) — fine index
-      bits live on the LANE axis;
-    * ``t_layout`` (transposed tile, shape (..., 128, ROWS)): element i at
-      (sublane = i & 127, lane = i >> 7) — fine bits live on the SUBLANE
-      axis.  Lane-level rolls are the expensive stages on v5e (measured
-      2.76 -> 2.32 ps/elem/stage for the full sort when 77 of 105 stages
-      move off the lane axis), so kernels transpose the tile, run the
-      network in t_layout, and transpose back.
+    * default (``t_layout`` 0/False): element i at (row = i >> 7,
+      lane = i & 127) — fine index bits live on the LANE axis;
+    * column-major with sublane extent S = ``t_layout`` (shape
+      (..., S, K/S)): element i at (sublane = i mod S, lane = i div S) —
+      the low lg(S) index bits live on the SUBLANE axis.  Lane-level
+      rolls are the expensive stages on v5e (sublane rolls at multiples
+      of 8 and lane rolls at multiples of 128 are vreg renaming — free;
+      sub-vreg lane rotates cost ~2.3x a sublane rotate, r4 decomp), so
+      kernels transpose the tile, run the network column-major, and
+      transpose back.  S=128 is the round-3 "t-layout"; bigger S moves
+      stages lg(S)..lg(S)+6 off the lane axis (S=512 at K=2^16: 42 -> 28
+      lane-rotate stages for the full sort).
     """
     if t_layout:
-        if bit < 7:
+        lgs = int(t_layout).bit_length() - 1
+        if bit < lgs:
             ids = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
             return (ids >> bit) & 1
         ids = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
-        return (ids >> (bit - 7)) & 1
+        return (ids >> (bit - lgs)) & 1
     rows, lanes = shape[-2], shape[-1]
     if (1 << bit) >= lanes:
         ids = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
@@ -130,14 +135,15 @@ def _bit(shape, bit: int, t_layout: bool = False):
     return (ids >> bit) & 1
 
 
-def _partner(x, j: int, t_layout: bool = False):
+def _partner(x, j: int, t_layout: int = 0):
     """Value at tile-linear index (i XOR 2^j) for every element i."""
     d = 1 << j
     if t_layout:
-        if d < 128:
+        s = int(t_layout)
+        if d < s:
             axis, dist = x.ndim - 2, d
         else:
-            axis, dist = x.ndim - 1, d >> 7
+            axis, dist = x.ndim - 1, d // s
     else:
         lanes = x.shape[-1]
         if d >= lanes:
@@ -169,11 +175,36 @@ def _compare_exchange(arrays, j: int, k: int, num_keys: int = 1,
     return _directed_exchange(arrays, j, flip_bit, num_keys, t_layout)
 
 
-def _t_layout_ok(rows: int, lanes: int = LANES) -> bool:
-    """The transposed stage layout needs a pow2 tile whose transpose is a
-    legal vreg shape: ROWS becomes the lane axis (multiple of 128)."""
+def _t_layout_ok(rows: int, lanes: int = LANES) -> int:
+    """Best column-major sublane extent S for a (rows, lanes) tile, or 0.
+
+    Needs a pow2 tile whose column-major shape (S, K/S) is a legal vreg
+    layout (K/S a multiple of 128).  Bigger S moves more stages off the
+    lane axis (stages j in [lg S, lg S + 7) are the sub-vreg lane rotates
+    — the ~2.3x-priced ones); S caps at 512 because K/S must keep >= 128
+    lanes at K = 2^16."""
     k = rows * lanes
-    return lanes == LANES and rows % LANES == 0 and (k & (k - 1)) == 0
+    if lanes != LANES or k & (k - 1):
+        return 0
+    s = min(512, k // LANES)
+    if s < 8 or (k // s) % LANES:
+        return 0
+    return s
+
+
+def _to_col(a: jax.Array, s: int) -> jax.Array:
+    """Row-major (nb, rows, LANES) tile -> column-major (nb, S, K/S):
+    element i moves from (i >> 7, i & 127) to (i mod S, i div S)."""
+    nb = a.shape[0]
+    k = a.shape[-2] * a.shape[-1]
+    return jnp.swapaxes(a.reshape(nb, k // s, s), -1, -2)
+
+
+def _from_col(w: jax.Array, s: int) -> jax.Array:
+    """Inverse of :func:`_to_col`."""
+    nb = w.shape[0]
+    k = w.shape[-2] * w.shape[-1]
+    return jnp.swapaxes(w, -1, -2).reshape(nb, k // LANES, LANES)
 
 
 def _sort_network(arrays, num_keys: int = 1, t_layout: bool = False):
@@ -267,17 +298,20 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
     10240-tiles: ~63.4 vs 105 padded to 16384.
     """
     shape = arrays[0].shape
+    k_total = shape[-2] * shape[-1]
     if t_layout:
-        rows, lanes = shape[-1], shape[-2]   # transposed tile (nb, 128, R)
+        # column-major (nb, S, K/S): contiguous element blocks slice the
+        # LANE axis in units of S elements per lane
+        unit = int(t_layout)
         blk_axis = len(shape) - 1
     else:
-        rows, lanes = shape[-2], shape[-1]
+        unit = LANES
         blk_axis = len(shape) - 2
-    k_total = rows * lanes
+    rows = k_total // unit          # extent along the block axis
     f = merge_staged_factor(k_total)
     blk = k_total // f
     a = blk.bit_length() - 1
-    brows = blk // LANES            # block extent along the row axis
+    brows = blk // unit             # block extent along the block axis
     nb = shape[0]
     k0 = run_in.bit_length() - 1
 
@@ -399,15 +433,22 @@ def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
         pad_rows and sorted_run and f and (k_real // f) % sorted_run == 0
     )
     if staged:
-        # staged t-layout needs block slice boundaries on 128-lane
-        # multiples of the transposed tile: blk extent (blk/128 rows)
-        # must itself be a multiple of 128 rows
-        t_lay = rows % LANES == 0 and ((k_real // f) // LANES) % LANES == 0
+        # column-major staged merge needs a pow2 block whose lane extent
+        # (blk/S) is a multiple of 128 so block slices land on legal lane
+        # boundaries; pick the largest S that satisfies both the tile and
+        # the block
+        blk = k_real // f
+        t_lay = 0
+        if rows % LANES == 0:
+            s = min(512, blk // LANES)
+            if s >= 8 and blk % s == 0 and (blk // s) % LANES == 0 \
+                    and (k_real // s) % LANES == 0:
+                t_lay = s
         if t_lay:
-            arrays = [jnp.swapaxes(x, -1, -2) for x in arrays]
+            arrays = [_to_col(x, t_lay) for x in arrays]
         out = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys, t_lay)
         if t_lay:
-            out = [jnp.swapaxes(x, -1, -2) for x in out]
+            out = [_from_col(x, t_lay) for x in out]
         return out
     if pad_rows:
         padded = []
@@ -422,13 +463,13 @@ def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
     p_rows = arrays[0].shape[1]
     t_lay = _t_layout_ok(p_rows)
     if t_lay:
-        arrays = [jnp.swapaxes(x, -1, -2) for x in arrays]
+        arrays = [_to_col(x, t_lay) for x in arrays]
     if sorted_run:
         arrays = _merge_sorted_runs(arrays, sorted_run, num_keys, t_lay)
     else:
         arrays = _sort_network(arrays, num_keys, t_lay)
     if t_lay:
-        arrays = [jnp.swapaxes(x, -1, -2) for x in arrays]
+        arrays = [_from_col(x, t_lay) for x in arrays]
     return [x[:, :rows] for x in arrays]
 
 

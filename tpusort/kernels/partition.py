@@ -40,8 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusort.kernels.bitonic import (
-    LANES, _linear_pos, _merge_sorted_runs, _sort_network, _t_layout_ok,
-    _valid_from,
+    LANES, _from_col, _linear_pos, _merge_sorted_runs, _sort_network,
+    _t_layout_ok, _to_col, _valid_from,
 )
 
 
@@ -176,14 +176,15 @@ def _fused_kernel(
         kplanes = [
             jnp.where(valid, p_, jnp.uint32(0xFFFFFFFF)) for p_ in planes
         ]
-        # lane-level stages are the expensive ones on v5e: run the network
-        # on the TRANSPOSED tile (same linear element order, fine index
-        # bits on the sublane axis — bitonic._bit t_layout) when the
-        # transpose is a legal vreg shape.  2.76 -> 2.32 ps/elem/stage.
+        # lane-level sub-vreg rotates are the expensive stages on v5e
+        # (~2.3x a sublane rotate, r4 decomp): run the network on the
+        # COLUMN-MAJOR tile (same linear element order, low index bits on
+        # the sublane axis — bitonic._bit; S=512 at K=2^16 leaves only 28
+        # lane-rotate stages in the full sort vs 91 row-major).
         t_lay = _t_layout_ok(rows)
         ops_net = kplanes + values
         if t_lay:
-            ops_net = [jnp.swapaxes(a, -1, -2) for a in ops_net]
+            ops_net = [_to_col(a, t_lay) for a in ops_net]
         if sorted_run:
             # input windows are monotone slices of previously sorted tiles;
             # garbage tails rewritten to 0xFFFFFFFF keep each pow2-aligned
@@ -196,7 +197,7 @@ def _fused_kernel(
             sorted_all = _sort_network(ops_net, num_keys=n_planes,
                                        t_layout=t_lay)
         if t_lay:
-            sorted_all = [jnp.swapaxes(a, -1, -2) for a in sorted_all]
+            sorted_all = [_from_col(a, t_lay) for a in sorted_all]
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
         ]
@@ -328,10 +329,10 @@ def _fused_kernel(
     t_lay = _t_layout_ok(rows)
     ops_net = [sortkey] + planes + values
     if t_lay:
-        ops_net = [jnp.swapaxes(a, -1, -2) for a in ops_net]
+        ops_net = [_to_col(a, t_lay) for a in ops_net]
     sorted_all = _sort_network(ops_net, t_layout=t_lay)
     if t_lay:
-        sorted_all = [jnp.swapaxes(a, -1, -2) for a in sorted_all]
+        sorted_all = [_from_col(a, t_lay) for a in sorted_all]
     sorted_digit = sorted_all[0] >> jnp.uint32(idx_bits)   # r == garbage
     starts = []
     counts = []
