@@ -320,48 +320,97 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
             return x[:, :, lo:hi]
         return x[:, lo:hi]
 
-    if run_in > 1:
-        odd = _bit(shape, k0, t_layout) == 1
-        arrays = [
-            jnp.where(odd, _reverse_within(x, run_in, t_layout), x)
-            for x in arrays
+    n_arr = len(arrays)
+
+    # Every phase below operates on ONE block or one 2-block group at a
+    # time — the live VMEM set is bounded by ~2 blocks of temporaries
+    # regardless of f and operand count.  (The previous whole-tile
+    # formulation materialized 10+ full-tile temporaries; at the 2^28
+    # leaf geometry — 5*2^16-element tiles x 3 operands — that blew the
+    # 16 MB scoped-vmem limit and killed the pairs/u64 compiles.)
+    # Block-locality is exact: stages of phases k < a only reference
+    # index bits < a, and the one global bit each later phase consults
+    # (the run-direction bit) is CONSTANT within a block or 2-block
+    # group, folded into the directed comparator's flip.
+
+    # per-block: entry reversal + phases k0..a-1 (bit a = block parity)
+    blocks = []
+    for b in range(f):
+        lo = b * brows
+        ops_b = [_blk_slice(x, lo, lo + brows) for x in arrays]
+        if run_in > 1:
+            if k0 < a:
+                odd = _bit(ops_b[0].shape, k0, t_layout) == 1
+                ops_b = [
+                    jnp.where(odd, _reverse_within(x, run_in, t_layout), x)
+                    for x in ops_b
+                ]
+            elif b & 1:
+                ops_b = [_reverse_within(x, run_in, t_layout)
+                         for x in ops_b]
+        for k in range(k0, a - 1):
+            for j in range(k, -1, -1):
+                ops_b = _compare_exchange(ops_b, j, k, num_keys, t_layout)
+        if k0 <= a - 1:
+            ops_b = _run_phase(ops_b, a - 1, b & 1, num_keys, t_layout)
+        blocks.append(ops_b)
+
+    # phase a: merge block pairs (0,1) [and (2,3)] — pair p's direction
+    # is global bit a+1 = p
+    pairs = []
+    for p in range((f - 1) // 2):
+        g = [
+            jnp.concatenate([blocks[2 * p][i], blocks[2 * p + 1][i]],
+                            axis=blk_axis)
+            for i in range(n_arr)
         ]
-    # phases k0..a-1 on the real tile: 2^a blocks end alternating asc/desc
-    for k in range(k0, a):
-        for j in range(k, -1, -1):
-            arrays = _compare_exchange(arrays, j, k, num_keys, t_layout)
-    # merge block pairs: phase a over the first (f-1) blocks — each
-    # (asc, desc) pair is bitonic; outputs take the direction of bit a+1
-    # of their positions, re-establishing alternation at size 2^(a+1)
-    npair_rows = (f - 1) * brows
-    front = [_blk_slice(x, 0, npair_rows) for x in arrays]
-    back = [_blk_slice(x, npair_rows, rows) for x in arrays]
-    for j in range(a, -1, -1):
-        front = _compare_exchange(front, j, a, num_keys, t_layout)
+        pairs.append(_run_phase(g, a, p & 1, num_keys, t_layout))
+
     if f == 5:
-        # phase a+1 merges the (asc 2^(a+1), desc 2^(a+1)) front into an
-        # ascending 2^(a+2) run
-        for j in range(a + 1, -1, -1):
-            front = _compare_exchange(front, j, a + 1, num_keys, t_layout)
-    # cascade back-insertion (r4): instead of one padded final phase over
-    # [front | 0xFFFFFFFF pad | reversed back] (2*pow2ceil(f-1) blocks of
-    # live VMEM and (k_fin+1) stages mostly spent on pad slots — the very
-    # allocation that OOM'd multi-operand leaves at 2^28), merge the back
-    # block INTO the sorted front top-down: front blocks F_0 <= ... <=
-    # F_{f-2} (one sorted run), so bitonic-merging [F_i asc | work desc]
-    # emits its high block as final output and hands the low block down.
-    # Each step's low half is sorted DESCENDING in place (statically
-    # flipped directions), so no per-step reversal is needed — one
-    # reversal at entry (as before) and one for the lowest block.
-    work = [_reverse_within(b, blk, t_layout) for b in back]  # descending
+        # phase a+1 over the front four blocks, decomposed: the j=a+1
+        # stage pairs element i of group (0,1) with element i of group
+        # (2,3) — a direct elementwise exchange, no rolls — then stages
+        # j=a..0 run within each (now ascending) half
+        lo_g, hi_g = pairs
+        take = None
+        take_i32 = None
+        for i in reversed(range(num_keys)):
+            u, v = lo_g[i], hi_g[i]
+            if num_keys == 1:
+                take = u <= v
+            elif take_i32 is None:
+                take_i32 = jnp.where(u <= v, jnp.int32(1), jnp.int32(0))
+            else:
+                lt = jnp.where(u < v, jnp.int32(1), jnp.int32(0))
+                take_i32 = jnp.where(u == v, take_i32, lt)
+        if take is None:
+            take = take_i32 == 1
+        new_lo = [jnp.where(take, x, y) for x, y in zip(lo_g, hi_g)]
+        new_hi = [jnp.where(take, y, x) for x, y in zip(lo_g, hi_g)]
+        pairs = [
+            _run_phase(new_lo, a, 0, num_keys, t_layout),
+            _run_phase(new_hi, a, 0, num_keys, t_layout),
+        ]
+
+    front = []
+    for g in pairs:
+        front.append([_blk_slice(x, 0, brows) for x in g])
+        front.append([_blk_slice(x, brows, 2 * brows) for x in g])
+    back = blocks[f - 1]
+
+    # cascade back-insertion (r4): merge the back block INTO the sorted
+    # front top-down: front blocks F_0 <= ... <= F_{f-2} (one sorted
+    # run), so bitonic-merging [F_i asc | work desc] emits its high block
+    # as final output and hands the low block down.  Each step's low half
+    # is sorted DESCENDING in place (statically flipped directions), so
+    # no per-step reversal is needed — one reversal at entry and one for
+    # the lowest block.
+    work = [_reverse_within(x, blk, t_layout) for x in back]  # descending
     pieces = [None] * f
     for bi in reversed(range(f - 1)):
-        lo = bi * brows
         pair = [
-            jnp.concatenate(
-                [_blk_slice(fr, lo, lo + brows), w], axis=blk_axis
-            )
-            for fr, w in zip(front, work)
+            jnp.concatenate([fr, w], axis=blk_axis)
+            for fr, w in zip(front[bi], work)
         ]
         pair = _bitonic_split_merge(pair, a, num_keys, t_layout)
         pieces[bi + 1] = [_blk_slice(x, brows, 2 * brows) for x in pair]
@@ -369,8 +418,20 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
     pieces[0] = [_reverse_within(w, blk, t_layout) for w in work]
     return [
         jnp.concatenate([pieces[b][i] for b in range(f)], axis=blk_axis)
-        for i in range(len(arrays))
+        for i in range(n_arr)
     ]
+
+
+def _run_phase(ops, k_hi: int, const_flip: int, num_keys: int,
+               t_layout) -> list:
+    """Stages j = k_hi..0 with direction flip = (local bit j) XOR
+    ``const_flip`` — one bitonic-merge phase whose run-direction bit is
+    constant over this (block-local) array."""
+    shape = ops[0].shape
+    for j in range(k_hi, -1, -1):
+        flip = _bit(shape, j, t_layout) ^ const_flip
+        ops = _directed_exchange(ops, j, flip, num_keys, t_layout)
+    return ops
 
 
 def _bitonic_split_merge(arrays, a: int, num_keys: int, t_layout: bool):
