@@ -39,4 +39,14 @@ T=2400 run python benchmarks/equidepth_profile.py --log2n 28 --entropy 2
 # pairs headline at the (to-be-)pinned config
 T=1200 run python bench.py --log2n 28 --pairs --verify
 
+# pairs/u64 big-tile at 2^28: rerun with the block-local staged merge
+# (the r3/r4 failures were whole-tile staged-leaf scoped-vmem OOMs)
+T=2400 run python benchmarks/geometry_ab.py --log2n 28 --pairs --stable --configs big_pairs
+T=2400 run python benchmarks/geometry_ab.py --log2n 28 --u64 --configs big
+T=1800 run python benchmarks/geometry_ab.py --log2n 26 --u64 --configs base,big
+
 echo "=== roundfour stage C complete $(date) ===" | tee -a "$LOG"
+
+# re-run the shard-stage bound with the honest (range-normalized) finish
+T=1800 run python benchmarks/shard_stage_profile.py --log2n-shard 25 --d 8 --chunks 4
+T=2400 run python benchmarks/shard_stage_profile.py --log2n-shard 27 --d 8 --chunks 4

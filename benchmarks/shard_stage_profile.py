@@ -128,9 +128,29 @@ def main():
                                                  n_shard),
         *rec, overhead=overhead)
 
-    # 4) engine finish on the compacted shard (post-shuffle local sort)
-    t_finish = bench("engine_finish", local_sort, keys, *vals,
-                     overhead=overhead)
+    # 4) engine finish on the compacted shard (post-shuffle local sort).
+    #    A real shard holds a NARROW value range (its splitter bucket) —
+    #    profiled honestly with range-restricted keys: raw (digit
+    #    concentration -> in-graph fallback) vs the production
+    #    range-normalized map ((k - base) << clz(width), global_sort r4).
+    width = (1 << 32) // d
+    base = np.uint32(2 * width)  # an interior shard
+    narrow = (jnp.asarray(base)
+              + (keys % jnp.uint32(width))).astype(jnp.uint32)
+    sh = 32 - int(np.uint32(width - 1)).bit_length()
+
+    def finish_normalized(k, *v):
+        kn = (k - jnp.uint32(base)) << jnp.uint32(sh)
+        sp, sv = sort_twiddled_msd(
+            (kn,), v, begin_bit=0, end_bit=32, total_bits=32,
+            stable=False, skew_tier=False,
+        )
+        return [(sp[0] >> jnp.uint32(sh)) + jnp.uint32(base)] + list(sv)
+
+    t_finish = bench("engine_finish_normalized", finish_normalized,
+                     narrow, *vals, overhead=overhead)
+    bench("engine_finish_raw_narrow (fallback path)", local_sort,
+          narrow, *vals, overhead=overhead)
 
     shuffle_bytes = n_shard * args.capacity_factor * 4 * n_ops
     t_local = t_sort + t_expand + t_collapse + t_finish

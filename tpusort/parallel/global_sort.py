@@ -294,6 +294,30 @@ def _global_sort_shard(
         compacted = collapse_segments(
             [x.reshape(d, capacity) for x in recv], seg_counts, n_shard
         )
+        if nplanes == 1 and d > 1:
+            # range-normalized finish: shard r's keys lie in
+            # [splitter[r-1], splitter[r]] — a narrow VALUE range whose
+            # top bits are nearly constant, which would concentrate the
+            # engine's static MSD digits into a handful of runs and
+            # force the slow in-graph fallback at production shard
+            # widths.  (k - base) << clz(width) is a monotone bijection
+            # of the shard's range onto a full-width domain, so the
+            # engine runs its fast path on ANY split; the map is undone
+            # after the sort (low bits shift in as zeros, exactly
+            # recoverable).
+            spl = splitters[0]
+            base = jnp.where(r > 0, spl[jnp.maximum(r - 1, 0)],
+                             jnp.uint32(0))
+            hi_s = jnp.where(r < d - 1, spl[jnp.minimum(r, d - 2)],
+                             jnp.uint32(0xFFFFFFFF))
+            width = jnp.maximum(hi_s - base, jnp.uint32(1))
+            sh = jnp.minimum(
+                jax.lax.clz(width).astype(jnp.uint32), jnp.uint32(31)
+            )
+            kn = (compacted[0] - base) << sh
+            sp2, sv2 = _local_engine_sort([kn], compacted[1:], 32)
+            k_out = (sp2[0] >> sh) + base
+            return [k_out] + list(sv2)
         sp2, sv2 = _local_engine_sort(
             compacted[:nplanes], compacted[nplanes:], 32 * nplanes
         )
