@@ -284,75 +284,76 @@ def merge_staged_factor(k_real: int) -> int:
 
 
 def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
-                             t_layout: bool = False):
+                             t_layout: int = 0):
     """Sort tiles of K = f*2^a elements (f in {3,5}; sorted ``run_in``
     subruns) without paying the full pow2-padding up front.
 
-    Run the network's phases only up to 2^a on the real tile — the f
-    blocks end alternately asc/desc by bit a of the index — then
-    bitonic-merge block pairs left to right (phase a merges (0,1) [and
-    (2,3) for f=5, which correctly comes out DESCENDING: its positions
-    have bit a+1 set], phase a+1 merges the first four), and finish with
-    one full phase over [sorted front | 0xFFFFFFFF pad | reversed last
-    block].  12288-tiles: ~60.3 stage-slot equivalents vs 80 padded;
-    10240-tiles: ~63.4 vs 105 padded to 16384.
+    ``arrays`` are ROW-MAJOR (nb, rows, LANES) tiles; ``t_layout`` (an
+    int S, or 0) selects the per-block column-major stage layout —
+    blocks are sliced row-major and converted individually.  Phase
+    structure: per-block phases up to 2^a (block direction = parity),
+    block-pair merges re-establishing ascending runs, then a cascade
+    that inserts the odd back block into the sorted front.
     """
     shape = arrays[0].shape
     k_total = shape[-2] * shape[-1]
-    if t_layout:
-        # column-major (nb, S, K/S): contiguous element blocks slice the
-        # LANE axis in units of S elements per lane
-        unit = int(t_layout)
-        blk_axis = len(shape) - 1
-    else:
-        unit = LANES
-        blk_axis = len(shape) - 2
-    rows = k_total // unit          # extent along the block axis
+    rows = k_total // LANES
     f = merge_staged_factor(k_total)
     blk = k_total // f
     a = blk.bit_length() - 1
-    brows = blk // unit             # block extent along the block axis
+    brows = blk // LANES            # block extent in row-major rows
     nb = shape[0]
     k0 = run_in.bit_length() - 1
+    n_arr = len(arrays)
+    s_col = int(t_layout) if t_layout else 0
+    # within col-major groups, a block spans blk // s_col lanes
+    blk_axis = len(shape) - 1 if s_col else len(shape) - 2
+    gunit = (blk // s_col) if s_col else brows
 
     def _blk_slice(x, lo, hi):
-        if t_layout:
+        if s_col:
             return x[:, :, lo:hi]
         return x[:, lo:hi]
 
-    n_arr = len(arrays)
+    def _col(x):
+        return _to_col(x, s_col) if s_col else x
+
+    def _row(x):
+        return _from_col(x, s_col) if s_col else x
 
     # Every phase below operates on ONE block or one 2-block group at a
-    # time — the live VMEM set is bounded by ~2 blocks of temporaries
-    # regardless of f and operand count.  (The previous whole-tile
-    # formulation materialized 10+ full-tile temporaries; at the 2^28
-    # leaf geometry — 5*2^16-element tiles x 3 operands — that blew the
-    # 16 MB scoped-vmem limit and killed the pairs/u64 compiles.)
-    # Block-locality is exact: stages of phases k < a only reference
-    # index bits < a, and the one global bit each later phase consults
-    # (the run-direction bit) is CONSTANT within a block or 2-block
-    # group, folded into the directed comparator's flip.
+    # time, sliced ROW-MAJOR from the input and converted to the
+    # column-major stage layout per block — the live VMEM set is bounded
+    # by ~2 blocks of temporaries regardless of f and operand count.
+    # (A whole-tile formulation materializes 10+ full-tile temporaries;
+    # at the 2^28 leaf geometry — 5*2^16-element tiles — that blows the
+    # 16 MB scoped-vmem limit, single-operand included once the
+    # whole-tile layout conversions are added.)  Block-locality is
+    # exact: stages of phases k < a only reference index bits < a, and
+    # the one global bit each later phase consults (the run-direction
+    # bit) is CONSTANT within a block or 2-block group, folded into the
+    # directed comparator's flip.
 
     # per-block: entry reversal + phases k0..a-1 (bit a = block parity)
     blocks = []
     for b in range(f):
         lo = b * brows
-        ops_b = [_blk_slice(x, lo, lo + brows) for x in arrays]
+        ops_b = [_col(x[:, lo : lo + brows]) for x in arrays]
         if run_in > 1:
             if k0 < a:
-                odd = _bit(ops_b[0].shape, k0, t_layout) == 1
+                odd = _bit(ops_b[0].shape, k0, s_col) == 1
                 ops_b = [
-                    jnp.where(odd, _reverse_within(x, run_in, t_layout), x)
+                    jnp.where(odd, _reverse_within(x, run_in, s_col), x)
                     for x in ops_b
                 ]
             elif b & 1:
-                ops_b = [_reverse_within(x, run_in, t_layout)
+                ops_b = [_reverse_within(x, run_in, s_col)
                          for x in ops_b]
         for k in range(k0, a - 1):
             for j in range(k, -1, -1):
-                ops_b = _compare_exchange(ops_b, j, k, num_keys, t_layout)
+                ops_b = _compare_exchange(ops_b, j, k, num_keys, s_col)
         if k0 <= a - 1:
-            ops_b = _run_phase(ops_b, a - 1, b & 1, num_keys, t_layout)
+            ops_b = _run_phase(ops_b, a - 1, b & 1, num_keys, s_col)
         blocks.append(ops_b)
 
     # phase a: merge block pairs (0,1) [and (2,3)] — pair p's direction
@@ -364,7 +365,7 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
                             axis=blk_axis)
             for i in range(n_arr)
         ]
-        pairs.append(_run_phase(g, a, p & 1, num_keys, t_layout))
+        pairs.append(_run_phase(g, a, p & 1, num_keys, s_col))
 
     if f == 5:
         # phase a+1 over the front four blocks, decomposed: the j=a+1
@@ -388,14 +389,14 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
         new_lo = [jnp.where(take, x, y) for x, y in zip(lo_g, hi_g)]
         new_hi = [jnp.where(take, y, x) for x, y in zip(lo_g, hi_g)]
         pairs = [
-            _run_phase(new_lo, a, 0, num_keys, t_layout),
-            _run_phase(new_hi, a, 0, num_keys, t_layout),
+            _run_phase(new_lo, a, 0, num_keys, s_col),
+            _run_phase(new_hi, a, 0, num_keys, s_col),
         ]
 
     front = []
     for g in pairs:
-        front.append([_blk_slice(x, 0, brows) for x in g])
-        front.append([_blk_slice(x, brows, 2 * brows) for x in g])
+        front.append([_blk_slice(x, 0, gunit) for x in g])
+        front.append([_blk_slice(x, gunit, 2 * gunit) for x in g])
     back = blocks[f - 1]
 
     # cascade back-insertion (r4): merge the back block INTO the sorted
@@ -405,19 +406,19 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
     # is sorted DESCENDING in place (statically flipped directions), so
     # no per-step reversal is needed — one reversal at entry and one for
     # the lowest block.
-    work = [_reverse_within(x, blk, t_layout) for x in back]  # descending
+    work = [_reverse_within(x, blk, s_col) for x in back]  # descending
     pieces = [None] * f
     for bi in reversed(range(f - 1)):
         pair = [
             jnp.concatenate([fr, w], axis=blk_axis)
             for fr, w in zip(front[bi], work)
         ]
-        pair = _bitonic_split_merge(pair, a, num_keys, t_layout)
-        pieces[bi + 1] = [_blk_slice(x, brows, 2 * brows) for x in pair]
-        work = [_blk_slice(x, 0, brows) for x in pair]
-    pieces[0] = [_reverse_within(w, blk, t_layout) for w in work]
+        pair = _bitonic_split_merge(pair, a, num_keys, s_col)
+        pieces[bi + 1] = [_blk_slice(x, gunit, 2 * gunit) for x in pair]
+        work = [_blk_slice(x, 0, gunit) for x in pair]
+    pieces[0] = [_reverse_within(w, blk, s_col) for w in work]
     return [
-        jnp.concatenate([pieces[b][i] for b in range(f)], axis=blk_axis)
+        jnp.concatenate([_row(pieces[b][i]) for b in range(f)], axis=-2)
         for i in range(n_arr)
     ]
 
@@ -494,23 +495,17 @@ def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
         pad_rows and sorted_run and f and (k_real // f) % sorted_run == 0
     )
     if staged:
-        # column-major staged merge needs a pow2 block whose lane extent
-        # (blk/S) is a multiple of 128 so block slices land on legal lane
-        # boundaries; pick the largest S that satisfies both the tile and
-        # the block
+        # the staged merge slices row-major blocks and converts each to
+        # column-major internally (per-block S — whole-tile conversions
+        # blew the scoped-vmem limit at the 2^28 leaf geometry); S only
+        # needs the BLOCK's lane extent (blk/S) on 128-lane boundaries
         blk = k_real // f
         t_lay = 0
-        if rows % LANES == 0:
-            s = min(512, blk // LANES)
-            if s >= 8 and blk % s == 0 and (blk // s) % LANES == 0 \
-                    and (k_real // s) % LANES == 0:
-                t_lay = s
-        if t_lay:
-            arrays = [_to_col(x, t_lay) for x in arrays]
-        out = _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys, t_lay)
-        if t_lay:
-            out = [_from_col(x, t_lay) for x in out]
-        return out
+        s = min(512, blk // LANES)
+        if s >= 8 and blk % s == 0 and (blk // s) % LANES == 0:
+            t_lay = s
+        return _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys,
+                                        t_lay)
     if pad_rows:
         padded = []
         for i, x in enumerate(arrays):
