@@ -501,7 +501,12 @@ def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
         # needs the BLOCK's lane extent (blk/S) on 128-lane boundaries
         blk = k_real // f
         t_lay = 0
-        s = min(512, blk // LANES)
+        # leaf blocks cap S at 128: the S>128 _to_col is a
+        # reshape-relayout (not a pure transpose) whose Mosaic scratch
+        # pushed the leaf+collapse kernel over the 16 MB scoped-vmem
+        # limit at the 2^28 geometry (measured 22.4M); the pass kernels
+        # keep S=512 (smaller tiles per step, compiles fine)
+        s = min(128, blk // LANES)
         if s >= 8 and blk % s == 0 and (blk // s) % LANES == 0:
             t_lay = s
         return _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys,
