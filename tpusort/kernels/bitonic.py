@@ -186,10 +186,19 @@ def _t_layout_ok(rows: int, lanes: int = LANES) -> int:
     k = rows * lanes
     if lanes != LANES or k & (k - 1):
         return 0
-    s = min(512, k // LANES)
+    s = min(_S_CAP, k // LANES)
     if s < 8 or (k // s) % LANES:
         return 0
     return s
+
+
+# Production cap for the column-major sublane extent.  S=128's _to_col is
+# a pure transpose; S>128 needs a reshape-relayout whose Mosaic scratch
+# pushed every big kernel over the 16 MB scoped-vmem limit (r4 on-chip:
+# pass nb=4 21.4M, leaf 22.4M).  The S=512 stage-count win (~12%) stays
+# gated here until the relayout cost is solved or the scoped-vmem limit
+# can be raised (--xla_tpu_scoped_vmem_limit_kib probe).
+_S_CAP = 128
 
 
 def _to_col(a: jax.Array, s: int) -> jax.Array:
