@@ -648,7 +648,7 @@ def sort_tiles_counts(
 
 def _counts_sort_collapse_kernel(
     *refs, n_ops: int, q: int, pad_rows: int,
-    sorted_run: int, num_keys: int, nb: int, rows: int,
+    sorted_run: int, num_keys: int, nb: int, rows: int, defer: bool,
 ):
     """Fused raw-key leaf sort + dense collapse: after sorting (garbage to
     the tile tail), each tile's valid prefix is streamed directly to its
@@ -685,43 +685,54 @@ def _counts_sort_collapse_kernel(
     p = tbl_ref[0, 0, 1]
     delta = tbl_ref[0, 0, 2 + nb]          # row0 - previous step's row0
     brows = nb * rows + 2
-    cur = jnp.int32(step) % jnp.int32(2)
-    prev = jnp.int32(1) - cur
+    if defer:
+        cur = (jnp.int32(step) % jnp.int32(2)) * brows
+        prev = (jnp.int32(1) - jnp.int32(step) % jnp.int32(2)) * brows
+    else:
+        # big stream buffers skip the double-buffered deferred wait (the
+        # extra brows of scratch is what pushed the 2^28 leaf over the
+        # scoped-vmem limit); the VMEM boundary relay still applies —
+        # read the previous stream's boundary row before overwriting
+        cur = jnp.int32(0)
+        prev = jnp.int32(0)
 
     # boundary row via VMEM relay from the previous step's buffer (its
     # content before the cursor is exactly what the HBM row holds)
     for i in range(n_ops):
-        bufs[i][pl.ds(cur * brows, 1), :] = bufs[i][
-            pl.ds(prev * brows + delta, 1), :
-        ]
+        bufs[i][pl.ds(cur, 1), :] = bufs[i][pl.ds(prev + delta, 1), :]
     for i in range(n_ops):
         cursor = p
         for b in range(nb):
-            _place(bufs[i], arrays[i][b, :rows], cursor,
-                   base=cur * brows)
+            _place(bufs[i], arrays[i][b, :rows], cursor, base=cur)
             cursor = cursor + tbl_ref[0, 0, 2 + b]
 
     def _copy(i):
         return pltpu.make_async_copy(
-            bufs[i].at[pl.ds(cur * brows, brows - 1), :],
+            bufs[i].at[pl.ds(cur, brows - 1), :],
             outs[i].at[pl.ds(row0, brows - 1), :],
             sem,
         )
 
-    @pl.when(step > 0)
-    def _wait_prev():
-        # previous step's copy: same byte count, so a same-shape
-        # descriptor waits it regardless of its (different) offsets
-        for i in range(n_ops):
-            _copy(i).wait()
+    if defer:
+        @pl.when(step > 0)
+        def _wait_prev():
+            # previous step's copy: same byte count, so a same-shape
+            # descriptor waits it regardless of its (different) offsets
+            for i in range(n_ops):
+                _copy(i).wait()
 
-    for i in range(n_ops):
-        _copy(i).start()
-
-    @pl.when(step == nsteps - 1)
-    def _final_wait():
         for i in range(n_ops):
-            _copy(i).wait()
+            _copy(i).start()
+
+        @pl.when(step == nsteps - 1)
+        def _final_wait():
+            for i in range(n_ops):
+                _copy(i).wait()
+    else:
+        for i in range(n_ops):
+            cp = _copy(i)
+            cp.start()
+            cp.wait()
 
 
 def sort_tiles_counts_collapsed(
@@ -778,11 +789,12 @@ def sort_tiles_counts_collapsed(
 
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
+    defer = 2 * brows * LANES * 4 * n_ops <= (4 << 20)
     out = pl.pallas_call(
         functools.partial(
             _counts_sort_collapse_kernel, n_ops=n_ops, q=q,
             pad_rows=pad_rows, sorted_run=sorted_run, num_keys=num_keys,
-            nb=nb, rows=rows,
+            nb=nb, rows=rows, defer=defer,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((total_rows, LANES), o.dtype) for o in ops
@@ -795,7 +807,8 @@ def sort_tiles_counts_collapsed(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_ops)],
-        scratch_shapes=[pltpu.VMEM((2 * brows, LANES), jnp.uint32)
+        scratch_shapes=[pltpu.VMEM(((2 if defer else 1) * brows, LANES),
+                                   jnp.uint32)
                         for _ in range(n_ops)]
         + [pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -52,7 +52,7 @@ def _place(b_ref, src: jax.Array, cursor, base=0) -> None:
 
 
 def _collapse_kernel(
-    tbl_ref, *refs, n_data: int, g: int, segrows: int
+    tbl_ref, *refs, n_data: int, g: int, segrows: int, defer: bool
 ):
     # refs = [data_in x n_data (1, g*segrows, 128)] + [out x n_data (ANY)]
     #        + scratch: [B x n_data (double-buffered), sem]
@@ -72,14 +72,16 @@ def _collapse_kernel(
     p = tbl_ref[0, 0, 1]
     delta = tbl_ref[0, 0, 2 + g]
     brows = g * segrows + 2
-    cur = jnp.int32(step) % jnp.int32(2)
-    prev = jnp.int32(1) - cur
+    if defer:
+        cur = (jnp.int32(step) % jnp.int32(2)) * brows
+        prev = (jnp.int32(1) - jnp.int32(step) % jnp.int32(2)) * brows
+    else:
+        cur = jnp.int32(0)
+        prev = jnp.int32(0)
 
     # 1. boundary row via VMEM relay from the previous step's buffer
     for i in range(n_data):
-        bufs[i][pl.ds(cur * brows, 1), :] = bufs[i][
-            pl.ds(prev * brows + delta, 1), :
-        ]
+        bufs[i][pl.ds(cur, 1), :] = bufs[i][pl.ds(prev + delta, 1), :]
 
     # 2. concatenate valid prefixes
     for i in range(n_data):
@@ -87,30 +89,36 @@ def _collapse_kernel(
         for s in range(g):
             c_s = tbl_ref[0, 0, 2 + s]
             src = ins[i][0, s * segrows : (s + 1) * segrows]
-            _place(bufs[i], src, cursor, base=cur * brows)
+            _place(bufs[i], src, cursor, base=cur)
             cursor = cursor + c_s
 
     # 3. write the stream (overshoot garbage is overwritten by the next
     # step's copy, ordered by the deferred wait below)
     def _copy(i):
         return pltpu.make_async_copy(
-            bufs[i].at[pl.ds(cur * brows, brows - 1), :],
+            bufs[i].at[pl.ds(cur, brows - 1), :],
             outs[i].at[pl.ds(row0, brows - 1), :],
             sem,
         )
 
-    @pl.when(step > 0)
-    def _wait_prev():
-        for i in range(n_data):
-            _copy(i).wait()          # same byte count as the prior copy
+    if defer:
+        @pl.when(step > 0)
+        def _wait_prev():
+            for i in range(n_data):
+                _copy(i).wait()      # same byte count as the prior copy
 
-    for i in range(n_data):
-        _copy(i).start()
-
-    @pl.when(step == nsteps - 1)
-    def _final_wait():
         for i in range(n_data):
-            _copy(i).wait()
+            _copy(i).start()
+
+        @pl.when(step == nsteps - 1)
+        def _final_wait():
+            for i in range(n_data):
+                _copy(i).wait()
+    else:
+        for i in range(n_data):
+            cp = _copy(i)
+            cp.start()
+            cp.wait()
 
 
 # VMEM budget per operand for the stream buffer + input block (bytes).
@@ -228,9 +236,11 @@ def collapse_segments(
     total_rows = nseg * segrows + brows
     shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
 
+    defer = 2 * brows * LANES * 4 * n_data <= (4 << 20)
     out = pl.pallas_call(
         functools.partial(
-            _collapse_kernel, n_data=n_data, g=group, segrows=segrows
+            _collapse_kernel, n_data=n_data, g=group, segrows=segrows,
+            defer=defer,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)
@@ -249,7 +259,8 @@ def collapse_segments(
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_data)
         ],
-        scratch_shapes=[pltpu.VMEM((2 * brows, LANES), jnp.uint32)
+        scratch_shapes=[pltpu.VMEM(((2 if defer else 1) * brows, LANES),
+                                   jnp.uint32)
                         for _ in range(n_data)]
         + [pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
