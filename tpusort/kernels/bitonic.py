@@ -789,7 +789,7 @@ def sort_tiles_counts_collapsed(
 
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
-    defer = 2 * brows * LANES * 4 * n_ops <= (4 << 20)
+    defer = 2 * brows * LANES * 4 * n_ops <= (2 << 20)
     out = pl.pallas_call(
         functools.partial(
             _counts_sort_collapse_kernel, n_ops=n_ops, q=q,

@@ -236,7 +236,7 @@ def collapse_segments(
     total_rows = nseg * segrows + brows
     shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
 
-    defer = 2 * brows * LANES * 4 * n_data <= (4 << 20)
+    defer = 2 * brows * LANES * 4 * n_data <= (2 << 20)
     out = pl.pallas_call(
         functools.partial(
             _collapse_kernel, n_data=n_data, g=group, segrows=segrows,
