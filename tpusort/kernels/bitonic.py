@@ -692,9 +692,11 @@ def _counts_sort_collapse_kernel(
         # big stream buffers skip the double-buffered deferred wait (the
         # extra brows of scratch is what pushed the 2^28 leaf over the
         # scoped-vmem limit); the VMEM boundary relay still applies —
-        # read the previous stream's boundary row before overwriting
-        cur = jnp.int32(0)
-        prev = jnp.int32(0)
+        # read the previous stream's boundary row before overwriting.
+        # Static python-int offsets keep the stores on the common
+        # lowering path.
+        cur = 0
+        prev = 0
 
     # boundary row via VMEM relay from the previous step's buffer (its
     # content before the cursor is exactly what the HBM row holds)

@@ -76,8 +76,9 @@ def _collapse_kernel(
         cur = (jnp.int32(step) % jnp.int32(2)) * brows
         prev = (jnp.int32(1) - jnp.int32(step) % jnp.int32(2)) * brows
     else:
-        cur = jnp.int32(0)
-        prev = jnp.int32(0)
+        # static python-int offsets: common store-lowering path
+        cur = 0
+        prev = 0
 
     # 1. boundary row via VMEM relay from the previous step's buffer
     for i in range(n_data):
