@@ -32,6 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# Per-kernel scoped-VMEM ceiling (Mosaic's default stack limit is 16 MB,
+# which the 2^28 leaf + multi-operand staged merges exceed; the chip has
+# 128 MB of VMEM and these kernels' real working sets are 20-30 MB).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _linear_pos(nb: int, rows: int) -> jax.Array:
     """(nb, rows, 128) int32: element index within each tile."""
@@ -198,7 +203,7 @@ def _t_layout_ok(rows: int, lanes: int = LANES) -> int:
 # pass nb=4 21.4M, leaf 22.4M).  The S=512 stage-count win (~12%) stays
 # gated here until the relayout cost is solved or the scoped-vmem limit
 # can be raised (--xla_tpu_scoped_vmem_limit_kib probe).
-_S_CAP = 128
+_S_CAP = 256
 
 
 def _to_col(a: jax.Array, s: int) -> jax.Array:
@@ -510,12 +515,7 @@ def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
         # needs the BLOCK's lane extent (blk/S) on 128-lane boundaries
         blk = k_real // f
         t_lay = 0
-        # leaf blocks cap S at 128: the S>128 _to_col is a
-        # reshape-relayout (not a pure transpose) whose Mosaic scratch
-        # pushed the leaf+collapse kernel over the 16 MB scoped-vmem
-        # limit at the 2^28 geometry (measured 22.4M); the pass kernels
-        # keep S=512 (smaller tiles per step, compiles fine)
-        s = min(128, blk // LANES)
+        s = min(_S_CAP, blk // LANES)
         if s >= 8 and blk % s == 0 and (blk // s) % LANES == 0:
             t_lay = s
         return _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys,
@@ -639,6 +639,7 @@ def sort_tiles_counts(
                          memory_space=pltpu.SMEM)
         ],
         out_specs=[spec] * n_ops,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*[o.reshape(T, rows, LANES) for o in ops],
       counts.astype(jnp.int32).reshape(T, 1, n_sub))
@@ -791,7 +792,7 @@ def sort_tiles_counts_collapsed(
 
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
-    defer = 2 * brows * LANES * 4 * n_ops <= (2 << 20)
+    defer = 2 * brows * LANES * 4 * n_ops <= (8 << 20)
     out = pl.pallas_call(
         functools.partial(
             _counts_sort_collapse_kernel, n_ops=n_ops, q=q,
@@ -813,7 +814,8 @@ def sort_tiles_counts_collapsed(
                                    jnp.uint32)
                         for _ in range(n_ops)]
         + [pltpu.SemaphoreType.DMA],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*[o.reshape(T, rows, LANES) for o in ops],
       counts.reshape(T, 1, n_sub), tbl[:, None, :])
@@ -863,6 +865,7 @@ def sort_tiles_masked(
         grid=(T // nb,),
         in_specs=[spec] * (n_ops + 1),
         out_specs=[spec] * n_ops,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*[o.reshape(T, rows, LANES) for o in ops],
       mask.reshape(T, rows, LANES))

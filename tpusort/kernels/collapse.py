@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusort.kernels.bitonic import LANES
+from tpusort.kernels.bitonic import LANES, _VMEM_LIMIT
 
 
 def _place(b_ref, src: jax.Array, cursor, base=0) -> None:
@@ -209,7 +209,8 @@ def collapse_segments(
             + [pltpu.VMEM((f, LANES), jnp.uint32) for _ in range(n_data)]
             + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_data)]
             + [pltpu.SemaphoreType.DMA],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )(tbl[:, None, :], *flat)
         return [o.reshape(-1)[:n_out] for o in out]
@@ -237,7 +238,7 @@ def collapse_segments(
     total_rows = nseg * segrows + brows
     shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
 
-    defer = 2 * brows * LANES * 4 * n_data <= (2 << 20)
+    defer = 2 * brows * LANES * 4 * n_data <= (8 << 20)
     out = pl.pallas_call(
         functools.partial(
             _collapse_kernel, n_data=n_data, g=group, segrows=segrows,
@@ -264,7 +265,8 @@ def collapse_segments(
                                    jnp.uint32)
                         for _ in range(n_data)]
         + [pltpu.SemaphoreType.DMA],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(tbl[:, None, :], *shaped)
     return [o.reshape(-1)[:n_out] for o in out]

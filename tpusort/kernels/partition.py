@@ -40,8 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusort.kernels.bitonic import (
-    LANES, _from_col, _linear_pos, _merge_sorted_runs, _sort_network,
-    _t_layout_ok, _to_col, _valid_from,
+    LANES, _VMEM_LIMIT, _from_col, _linear_pos, _merge_sorted_runs,
+    _sort_network, _t_layout_ok, _to_col, _valid_from,
 )
 
 
@@ -507,6 +507,8 @@ def partition_pass_fused(
             pltpu.VMEM((nb, rows + srows + 1, LANES), jnp.uint32)
             for _ in range(n_data)
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*inputs)
     if t_seg is None:
