@@ -73,11 +73,11 @@ def test_merge_sorted_runs(run):
 
 
 @pytest.mark.parametrize("k,run", [
-    (384, 128), (640, 128), (1536, 256),
-    # blk >= 1024 engages the per-block column-major stage layout
-    (3072, 256), (5120, 512),
+    (384, 128), (640, 128), (1536, 256), (3072, 256), (5120, 512),
     # production s1 geometry: heaviest interpret-mode network, slow set
     pytest.param(2560, 256, marks=pytest.mark.slow),
+    # blk = 2^14 engages the per-block column-major layout (S=128)
+    pytest.param(49152, 512, marks=pytest.mark.slow),
 ])
 def test_staged_fpow2_merge(k, run):
     assert kb.merge_staged_factor(k) in (3, 5)

@@ -192,7 +192,9 @@ def _t_layout_ok(rows: int, lanes: int = LANES) -> int:
     if lanes != LANES or k & (k - 1):
         return 0
     s = min(_S_CAP, k // LANES)
-    if s < 8 or (k // s) % LANES:
+    if s < LANES or (k // s) % LANES:
+        # s < 128 would give the _to_col intermediate (nb, K/S, S) an
+        # illegal sub-128 lane dim
         return 0
     return s
 
@@ -516,7 +518,7 @@ def _leaf_network(arrays, *, pad_rows: int, sorted_run: int, num_keys: int):
         blk = k_real // f
         t_lay = 0
         s = min(_S_CAP, blk // LANES)
-        if s >= 8 and blk % s == 0 and (blk // s) % LANES == 0:
+        if s >= LANES and blk % s == 0 and (blk // s) % LANES == 0:
             t_lay = s
         return _merge_sorted_runs_fpow2(arrays, sorted_run, num_keys,
                                         t_lay)
