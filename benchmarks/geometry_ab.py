@@ -50,6 +50,12 @@ CANDIDATES = {
                        pass_batch=1, pairs_gather_apply=True),
     "big_pairs": dict(tile_elems=1 << 16, s1=2560, leaf_max=327680,
                       pass_batch=1),
+    "big_pairs_nb2": dict(tile_elems=1 << 16, s1=2560, leaf_max=327680,
+                          pass_batch=2),
+    # 3-pass plan with a small leaf (multi-operand leaves pay the staged
+    # merge per operand; a third partition pass may be cheaper)
+    "big_p3_pairs": dict(tile_elems=1 << 16, s1=2560, leaf_max=20480,
+                         pass_batch=2),
 }
 
 
