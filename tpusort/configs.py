@@ -97,11 +97,17 @@ register_config(32, False, "tpu", SortConfig(default_algorithm="msd",
                                              tile_elems=1 << 16, s1=2560,
                                              leaf_max=327680, pass_batch=2))
 register_config(32, True, "tpu", SortConfig(default_algorithm="msd",
-                                            pass_batch=4))
+                                            tile_elems=1 << 16, s1=2560,
+                                            leaf_max=327680, pass_batch=1))
+# u64: big-tile geometry measured r4 — 321 M keys/s at 2^28 (the 2^28
+# compile previously died on the staged-leaf scoped-vmem OOM), 348 vs
+# 326 M at 2^26 over the old default
 register_config(64, False, "tpu", SortConfig(default_algorithm="msd",
-                                             pass_batch=4))
+                                             tile_elems=1 << 16, s1=2560,
+                                             leaf_max=327680, pass_batch=1))
 register_config(64, True, "tpu", SortConfig(default_algorithm="msd",
-                                            pass_batch=4))
+                                            tile_elems=1 << 16, s1=2560,
+                                            leaf_max=327680, pass_batch=1))
 _CPU = SortConfig(tile_elems=2048, radix=16, s1=256, min_n=4096,
                   small_n_threshold=2048)
 for _bits in (32, 64):
