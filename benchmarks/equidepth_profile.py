@@ -102,14 +102,15 @@ def main():
 
     bench("strided tile assignment (element transpose)", strided, keys)
 
-    def pipeline(k, tq, tlo, thi, tm):
-        tbl = eq._EqTable([tq], tlo, thi, table.ranks, tm)
+    def pipeline(k, tq, tlo, thi):
+        # ranks/m are static (closure) — _pass_splitters does host math
+        tbl = eq._EqTable([tq], tlo, thi, ranks, m)
         out, ovf = eq._run_pipeline((k,), (), n, plan, tbl, None,
                                     batch=cfg.pass_batch)
         return out[0], ovf
 
     t_pipe = bench("splitter passes + leaf + collapse", pipeline, keys,
-                   table.q[0], table.lo, table.hi, table.m)
+                   table.q[0], table.lo, table.hi)
 
     def full(k):
         sp, _, ovf = eq.sort_twiddled_equidepth(
