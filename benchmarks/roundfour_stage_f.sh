@@ -28,5 +28,6 @@ run() {
 T=2400 run python benchmarks/geometry_ab.py --log2n 28 --pairs --stable --configs big_pairs_nb2
 T=2400 run python benchmarks/geometry_ab.py --log2n 28 --pairs --stable --configs big_p3_pairs
 T=2400 run python benchmarks/equidepth_profile.py --log2n 28 --entropy 2
+T=1800 run python bench.py --log2n 28 --pairs --unstable --verify
 T=1200 run python bench.py --log2n 29 --verify
 echo "=== roundfour stage F complete $(date) ===" | tee -a "$LOG"
