@@ -390,7 +390,10 @@ def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
             lambda stride: _planner_sample_impl(keys, stride, descending), n)
         if _presorted_short_circuit(
                 sample, lambda: _is_sorted_keys_impl(keys, descending)):
-            return keys, vt
+            # coerce: the tier-chain path returns JAX arrays for values,
+            # so the identity short-circuit must too (callers may pass
+            # numpy arrays / lists)
+            return keys, tuple(jnp.asarray(v) for v in vt)
         if "equidepth" in _tier_chain(cfg):
             skip = _skip_radix_tier(sample, n, begin_bit, end_bit,
                                     total_bits, cfg)
@@ -678,7 +681,8 @@ def sort_planes(
                 )
                 if not had:
                     return out_id
-                return out_id, (vt[0] if single else vt)
+                vt_id = tuple(jnp.asarray(v) for v in vt)
+                return out_id, (vt_id[0] if single else vt_id)
             if "equidepth" in _tier_chain(cfg):
                 skip = _skip_radix_tier(sample, n_pl, begin_bit, end_bit,
                                         tb_pl, cfg)

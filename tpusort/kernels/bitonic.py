@@ -37,6 +37,13 @@ LANES = 128
 # 128 MB of VMEM and these kernels' real working sets are 20-30 MB).
 _VMEM_LIMIT = 64 * 1024 * 1024
 
+# Deferred-DMA stream buffers (the overlapped double-buffer collapse
+# emit) are only enabled while the 2x per-operand stream scratch fits
+# this budget; past it the kernels use single-buffer synchronous waits
+# (the VMEM boundary-row relay is kept either way).  Shared with
+# kernels/collapse.py — one knob, two kernels.
+_DEFER_STREAM_LIMIT = 8 << 20
+
 
 def _linear_pos(nb: int, rows: int) -> jax.Array:
     """(nb, rows, 128) int32: element index within each tile."""
@@ -162,7 +169,7 @@ def _partner(x, j: int, t_layout: int = 0):
 
 
 def _compare_exchange(arrays, j: int, k: int, num_keys: int = 1,
-                      t_layout: bool = False):
+                      t_layout: int = 0):
     """One bitonic stage: partner distance 2^j inside 2^(k+1)-wide runs.
 
     XOR-fold comparator (r4): the stage's static direction is folded into
@@ -223,7 +230,7 @@ def _from_col(w: jax.Array, s: int) -> jax.Array:
     return jnp.swapaxes(w, -1, -2).reshape(nb, k // LANES, LANES)
 
 
-def _sort_network(arrays, num_keys: int = 1, t_layout: bool = False):
+def _sort_network(arrays, num_keys: int = 1, t_layout: int = 0):
     """Full bitonic sort network over each trailing (ROWS, LANES) tile.
 
     Leading dims are independent tiles sorted in lockstep — batching >1 tile
@@ -251,7 +258,7 @@ def _merge_network(arrays):
     return arrays
 
 
-def _reverse_within(x: jax.Array, run: int, t_layout: bool = False) -> jax.Array:
+def _reverse_within(x: jax.Array, run: int, t_layout: int = 0) -> jax.Array:
     """Value at index (i XOR (run-1)) — reverses every ``run``-aligned
     block.  Composes single-bit XOR partner moves (Batcher's (i, i+d)
     addition pairing cannot be expressed with lane rolls because carries
@@ -262,7 +269,7 @@ def _reverse_within(x: jax.Array, run: int, t_layout: bool = False) -> jax.Array
 
 
 def _merge_sorted_runs(arrays, run_in: int, num_keys: int = 1,
-                       t_layout: bool = False):
+                       t_layout: int = 0):
     """Sort each trailing (ROWS, LANES) tile given contiguous ``run_in``-
     element subruns already sorted ascending, by entering the standard
     bitonic sort network at phase log2(run_in).
@@ -440,7 +447,7 @@ def _merge_sorted_runs_fpow2(arrays, run_in: int, num_keys: int = 1,
 
 
 def _run_phase(ops, k_hi: int, const_flip: int, num_keys: int,
-               t_layout) -> list:
+               t_layout: int) -> list:
     """Stages j = k_hi..0 with direction flip = (local bit j) XOR
     ``const_flip`` — one bitonic-merge phase whose run-direction bit is
     constant over this (block-local) array."""
@@ -451,7 +458,7 @@ def _run_phase(ops, k_hi: int, const_flip: int, num_keys: int,
     return ops
 
 
-def _bitonic_split_merge(arrays, a: int, num_keys: int, t_layout: bool):
+def _bitonic_split_merge(arrays, a: int, num_keys: int, t_layout: int):
     """Directed merge of a 2-block bitonic input [asc | desc] (block =
     2^a elements): the high half comes out sorted ASCENDING, the low half
     DESCENDING — the cascade's hand-me-down needs no reversal.  The split
@@ -470,7 +477,7 @@ def _bitonic_split_merge(arrays, a: int, num_keys: int, t_layout: bool):
 
 
 def _directed_exchange(arrays, j: int, flip_bit, num_keys: int,
-                       t_layout: bool):
+                       t_layout: int):
     """Compare-exchange at distance 2^j with an explicit direction field:
     element i keeps the SMALLER value iff flip_bit[i] == 0 (XOR-fold, see
     ``_XOR_COMPARATOR``)."""
@@ -794,7 +801,7 @@ def sort_tiles_counts_collapsed(
 
     spec = pl.BlockSpec((nb, rows, LANES), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
-    defer = 2 * brows * LANES * 4 * n_ops <= (8 << 20)
+    defer = 2 * brows * LANES * 4 * n_ops <= _DEFER_STREAM_LIMIT
     out = pl.pallas_call(
         functools.partial(
             _counts_sort_collapse_kernel, n_ops=n_ops, q=q,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusort.kernels.bitonic import LANES, _VMEM_LIMIT
+from tpusort.kernels.bitonic import LANES, _DEFER_STREAM_LIMIT, _VMEM_LIMIT
 
 
 def _place(b_ref, src: jax.Array, cursor, base=0) -> None:
@@ -238,7 +238,7 @@ def collapse_segments(
     total_rows = nseg * segrows + brows
     shaped = [o.reshape(nsteps, group * segrows, LANES) for o in ops]
 
-    defer = 2 * brows * LANES * 4 * n_data <= (8 << 20)
+    defer = 2 * brows * LANES * 4 * n_data <= _DEFER_STREAM_LIMIT
     out = pl.pallas_call(
         functools.partial(
             _collapse_kernel, n_data=n_data, g=group, segrows=segrows,

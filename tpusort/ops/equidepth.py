@@ -59,8 +59,15 @@ __all__ = ["sort_twiddled_equidepth", "supports"]
 # cost (a 2^25 sample via the msd engine costs ~45 ms at 2^28 input); at
 # 2^22 the deepest-level quantile noise still clears the big-tile plan's
 # capacity after _widen_last (nq=1024: mean*(1+3.72*sqrt(nq/m)) + 6.5
-# sigma = 2004 <= s=2048 at 2^28), so a bigger sample buys nothing.
-_SAMPLE_CAP = 1 << 22
+# sigma = 2004 <= s=2048 at 2^28), so a bigger sample buys nothing THERE.
+# Past 2^28 the deepest splitter count nq ~ n/seg keeps growing while a
+# fixed cap would shrink the margin (the noise term sqrt(nq/m) scales with
+# n/m), so the cap scales as n/64 — identical to the fixed 2^22 for all
+# n <= 2^28, constant relative noise above.
+
+
+def _sample_cap(n: int) -> int:
+    return max(1 << 22, n >> 6)
 
 
 def _widen_last(plan: "_msd.MsdPlan", n: int, m_sample: int,
@@ -146,7 +153,7 @@ def _quantile_table(planes: Sequence[jax.Array], n: int, nq: int,
     import numpy as _np
 
     if sample_log2 is None:
-        target = max(1 << 16, min(_SAMPLE_CAP, n // 8))
+        target = max(1 << 16, min(_sample_cap(n), n // 8))
     else:
         target = 1 << sample_log2
     stride = max(1, n // target)
@@ -376,7 +383,7 @@ def _prepare(n: int, plan_kwargs: Optional[dict]):
     if sample_log2 is not None:
         m_sample = 1 << sample_log2
     else:
-        m_sample = max(1 << 16, min(_SAMPLE_CAP, n // 8))
+        m_sample = max(1 << 16, min(_sample_cap(n), n // 8))
     leaf_max = kwargs.get("leaf_max") or max(
         2 * kwargs.get("k", 1 << 14), 1 << 15
     )
