@@ -131,6 +131,77 @@ def test_segmented_sort_ragged():
         np.testing.assert_array_equal(gv[lo:hi], vals[lo:hi][order])
 
 
+def test_segmented_sort_bit_range():
+    """begin_bit/end_bit on every entry point (parity with CUB\'s
+    DeviceSegmentedRadixSort overloads): only the masked window is
+    compared; equal-window keys keep input order (stable)."""
+    rng = np.random.default_rng(16)
+    n = 3000
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    offs = np.array([0, 700, 700, 2000, n])
+    gk, gv = tseg.segmented_sort(jnp.asarray(keys), jnp.asarray(offs),
+                                 jnp.asarray(vals), begin_bit=8, end_bit=24)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    win = (keys >> np.uint32(8)) & np.uint32(0xFFFF)
+    for s in range(len(offs) - 1):
+        lo, hi = offs[s], offs[s + 1]
+        order = np.argsort(win[lo:hi], kind="stable")
+        np.testing.assert_array_equal(gk[lo:hi], keys[lo:hi][order])
+        np.testing.assert_array_equal(gv[lo:hi], vals[lo:hi][order])
+
+
+def test_segmented_sort_ragged_pairs_unstable():
+    """stable=False ragged pairs (the raw-plane engine fast path on TPU;
+    composite XLA here): per-segment key order + pair binding must hold
+    even if equal-key payload order may differ."""
+    rng = np.random.default_rng(17)
+    n = 4000
+    keys = rng.integers(0, 256, n, dtype=np.uint32)  # heavy ties
+    vals = np.arange(n, dtype=np.uint32)
+    offs = np.array([0, 1024, 2048, n])
+    gk, gv = tseg.segmented_sort(jnp.asarray(keys), jnp.asarray(offs),
+                                 jnp.asarray(vals), stable=False)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    for s in range(len(offs) - 1):
+        lo, hi = offs[s], offs[s + 1]
+        np.testing.assert_array_equal(gk[lo:hi],
+                                      np.sort(keys[lo:hi], kind="stable"))
+        # binding: every output pair maps back to its original key
+        np.testing.assert_array_equal(keys[gv[lo:hi]], gk[lo:hi])
+        assert set(gv[lo:hi].tolist()) == set(range(lo, hi))
+
+
+def test_segmented_sort_descending_pairs():
+    rng = np.random.default_rng(18)
+    n = 2500
+    keys = rng.standard_normal(n).astype(np.float32)
+    vals = np.arange(n, dtype=np.uint32)
+    offs = np.array([0, 500, 1700, n])
+    gk, gv = tseg.segmented_sort(jnp.asarray(keys), jnp.asarray(offs),
+                                 jnp.asarray(vals), descending=True)
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    for s in range(len(offs) - 1):
+        lo, hi = offs[s], offs[s + 1]
+        order = np.argsort(-keys[lo:hi], kind="stable")
+        np.testing.assert_array_equal(gk[lo:hi], keys[lo:hi][order])
+        np.testing.assert_array_equal(gv[lo:hi], vals[lo:hi][order])
+
+
+def test_sort_batched_bit_range():
+    rng = np.random.default_rng(19)
+    keys = rng.integers(0, 2**32, (8, 384), dtype=np.uint32)
+    vals = np.arange(8 * 384, dtype=np.uint32).reshape(8, 384)
+    gk, gv = tseg.sort_batched(jnp.asarray(keys), jnp.asarray(vals),
+                               begin_bit=4, end_bit=20)
+    win = (keys >> np.uint32(4)) & np.uint32(0xFFFF)
+    order = np.argsort(win, axis=1, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk),
+                                  np.take_along_axis(keys, order, 1))
+    np.testing.assert_array_equal(np.asarray(gv),
+                                  np.take_along_axis(vals, order, 1))
+
+
 @pytest.mark.parametrize("n", [100, 1000, 12288, 16384])
 def test_bitonic_engine_small_n(n):
     keys = datagen.random_keys(jax.random.key(n), n, "uint32")

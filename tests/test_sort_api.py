@@ -320,3 +320,106 @@ def test_legacy_engine_signature_still_works():
     finally:
         from tpusort import api as _api
         _api._ENGINES.pop("_legacy_test", None)
+
+
+class Test64BitHostBoundary:
+    """Public ``sort()`` accepts 64-bit dtypes via the host plane boundary
+    (the backend cannot materialize 64-bit arrays): keys/values are bitcast
+    to uint32 planes host-side, sorted through the plane interface, and
+    reassembled as numpy.  Covers the reference's full ``Traits`` dtype set
+    (``lsb/cub/cub/util_type.cuh:1104-1130``) and its {4,8}-byte
+    key x value tuning matrix (``msb/src/sort/gpu_sort_config.h:146-207``)
+    at the top-level API."""
+
+    @pytest.fixture(autouse=True)
+    def _x64_off(self):
+        # the production TPU environment runs with x64 DISABLED (the
+        # backend cannot hold 64-bit arrays) — that is the configuration
+        # the host boundary exists for; the rest of the suite keeps
+        # conftest's x64 to exercise the device-side plane decomposition
+        old = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", False)
+        yield
+        jax.config.update("jax_enable_x64", old)
+
+    @staticmethod
+    def _rand64(n, dtype, seed=0):
+        rng = np.random.default_rng(seed)
+        u = np.frombuffer(rng.bytes(n * 8), np.uint64).copy()
+        if dtype == "float64":
+            f = u.view(np.float64)
+            # pin the interesting rungs of the float total order
+            f[:8] = [np.nan, -np.nan, 0.0, -0.0, np.inf, -np.inf, 1.5, -1.5]
+            return f
+        return u.view(np.dtype(dtype))
+
+    @pytest.mark.parametrize("dtype", ["uint64", "int64", "float64"])
+    def test_keys_oracle(self, dtype):
+        k = self._rand64(6000, dtype, seed=11)
+        got = tpusort.sort(k, algorithm="msd")
+        assert isinstance(got, np.ndarray) and got.dtype == np.dtype(dtype)
+        want = np_sort_oracle(k)
+        np.testing.assert_array_equal(got.view(np.uint64),
+                                      want.view(np.uint64))
+
+    def test_keys_descending_f64(self):
+        k = self._rand64(5000, "float64", seed=12)
+        got = tpusort.sort(k, algorithm="msd", descending=True)
+        want = np_sort_oracle(k, descending=True)
+        np.testing.assert_array_equal(got.view(np.uint64),
+                                      want.view(np.uint64))
+
+    def test_u64_keys_u32_values_stable(self):
+        n = 5000
+        k = (self._rand64(n, "uint64", seed=13) & np.uint64(0xFF)) | \
+            np.uint64(0xA500000000000000)   # heavy ties exercise stability
+        v = np.arange(n, dtype=np.uint32)
+        gk, gv = tpusort.sort(k, v, algorithm="msd")
+        wk, wv = np_sort_oracle(k, v)
+        np.testing.assert_array_equal(gk, wk)
+        np.testing.assert_array_equal(np.asarray(gv), wv)
+
+    def test_u32_keys_u64_values(self):
+        n = 5000
+        rng = np.random.default_rng(14)
+        k = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+        v = self._rand64(n, "uint64", seed=15)
+        gk, gv = tpusort.sort(k, v, algorithm="msd")
+        wk, wv = np_sort_oracle(k, v)
+        np.testing.assert_array_equal(np.asarray(gk), wk)
+        assert isinstance(gv, np.ndarray) and gv.dtype == np.uint64
+        np.testing.assert_array_equal(gv, wv)
+
+    def test_u64_keys_u64_values_multi(self):
+        n = 4000
+        k = self._rand64(n, "uint64", seed=16)
+        v64 = self._rand64(n, "uint64", seed=17)
+        v32 = np.arange(n, dtype=np.uint32)
+        gk, (gv64, gv32) = tpusort.sort(k, (v64, v32), algorithm="msd")
+        wk, wv64 = np_sort_oracle(k, v64)
+        _, wv32 = np_sort_oracle(k, v32)
+        np.testing.assert_array_equal(gk, wk)
+        np.testing.assert_array_equal(gv64, wv64)
+        np.testing.assert_array_equal(np.asarray(gv32), wv32)
+
+    def test_argsort_u64(self):
+        k = self._rand64(4000, "uint64", seed=18)
+        perm = tpusort.argsort(k)
+        np.testing.assert_array_equal(
+            k[np.asarray(perm)], np_sort_oracle(k))
+
+    def test_inside_jit_raises(self):
+        k = self._rand64(256, "uint64")
+
+        @jax.jit
+        def f(x):
+            return tpusort.sort(k, algorithm="msd")  # captures 64-bit host
+
+        # tracer VALUES alongside 64-bit keys must be rejected, not silently
+        # fetched; plain host arrays keep working inside jit-free code
+        @jax.jit
+        def g(v):
+            return tpusort.sort(k, v, algorithm="msd")
+
+        with pytest.raises(NotImplementedError):
+            g(jnp.arange(256, dtype=jnp.uint32))

@@ -202,21 +202,44 @@ def _sort_impl(
 
 # ---------------------------------------------------------------------------
 # Host-owned tiering (the reference's CPU-in-the-loop planner analog,
-# ``msb/src/sort/gpu_radix_sort.cu:29-104``: the host reads a tiny flag and
-# decides the next kernel).  The radix engine runs in flag mode — no
-# in-graph lax.cond fallback, hence no fallback-workspace RESERVATION (the
-# thing that capped the in-graph engine at 2^29 keys and gated the skew
-# tier to n < 2^28).  On overflow the host re-dispatches: equi-depth
-# splitter tier, then the exact reference sort.
+# ``msb/src/sort/gpu_radix_sort.cu:29-104``: the host plans while the GPU
+# runs — its planner overlaps the device via streams,
+# ``msb/src/sort/gpu_radix_sort.h:240-257``).  The round-5 design removes
+# the eager API's host-sync tax (measured ~30% at 2^28 in r4: sample fetch
+# + presorted check + flag readback were three serialized tunnel round
+# trips, ~26 ms each):
+#
+# * **tier-decision cache**: the classification for a
+#   (shape, dtype, distribution-class) is remembered across calls, so a
+#   steady workload dispatches its sort immediately;
+# * **overlapped classification**: the strided-sample graph is dispatched
+#   BEFORE the sort, and fetched while the sort runs — the round trip
+#   hides entirely under the device work; the result refreshes the cache
+#   for the next call;
+# * **in-graph safety net instead of a flag readback**: at n <= _COND_MAX
+#   the radix tier runs with its lax.cond overflow fallback (exactly what
+#   jit callers get), so no host sync is needed for correctness.  Above
+#   _COND_MAX the cond branch's workspace RESERVATION exceeds HBM and the
+#   flag-mode chain (radix -> equi-depth -> exact, one readback per tier)
+#   still applies — there the sort is >= 600 ms and the readback is noise.
 # ---------------------------------------------------------------------------
 
 _TIERED_ALGOS = ("msd", "lsd", "msd_unstable")
+
+# Above this the in-graph cond fallback would RESERVE the reference sort's
+# workspace on top of the pipeline's live set (> 16 GB HBM) — the host
+# owns the fallback decision there (flag mode).  Multi-operand shapes
+# (pairs / 64-bit planes) carry 2-4x the bytes, so their ceiling halves.
+_COND_MAX = 1 << 29
+
+# (shape, dtypes, flags, cfg) -> {"presorted": bool, "tier": str}
+_TIER_CACHE: Dict[tuple, dict] = {}
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("descending", "begin_bit", "end_bit", "tier",
-                     "stable", "cfg"),
+                     "stable", "cfg", "mode"),
 )
 def _sort_tier_impl(
     keys,
@@ -228,6 +251,7 @@ def _sort_tier_impl(
     tier: str,
     stable: bool,
     cfg: _configs.SortConfig,
+    mode: str = "flag",
 ):
     from tpusort.ops.equidepth import sort_twiddled_equidepth
     from tpusort.ops.msd import sort_twiddled_msd
@@ -236,7 +260,15 @@ def _sort_tier_impl(
     total_bits = traits.bits
     eb = total_bits if end_bit is None else end_bit
     ovf = jnp.asarray(False)
-    if tier == "radix":
+    if tier == "radix" and mode == "cond":
+        # in-graph overflow fallback (identical to the jit path): one
+        # dispatch, no flag readback; skew_tier auto-gates in-graph
+        sp, sv = sort_twiddled_msd(
+            planes, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits, stable=stable, on_overflow="cond",
+            config=cfg,
+        )
+    elif tier == "radix":
         sp, sv, ovf = sort_twiddled_msd(
             planes, values_tuple, begin_bit=begin_bit, end_bit=eb,
             total_bits=total_bits, stable=stable, on_overflow="flag",
@@ -317,39 +349,13 @@ def _is_sorted_planes_impl(planes, key_dtype: str, descending: bool):
     return _lex_sorted(tw)
 
 
-def _host_sample(sample_fn, n) -> Optional[np.ndarray]:
-    """Strided top-plane sample for the host pre-classifier, or None when
-    the problem is too small to be worth a host round trip."""
-    from tpusort import planner
-
-    if n < planner.PLANNER_MIN_N:
-        return None
-    stride = max(1, n // planner.SAMPLE_TARGET)
-    return np.asarray(sample_fn(stride))
-
-
-def _presorted_short_circuit(sample, check_fn) -> bool:
-    """Already-sorted identity short-circuit (the reference's finished
-    buckets skipping every remaining pass, gpu_radix_sort.h:359-360,
-    482-485, taken to the limit): if the strided sample is non-decreasing,
-    ONE device comparison pass (``check_fn`` — a fused twiddle+reduce
-    returning a scalar) decides whether the whole input already is — then
-    the sort is the identity (constant keys — the entropy-0 rung —
-    included).  Cost when mispredicted: ~2 ms + a sync."""
-    from tpusort import planner
-
-    if sample is None or not planner.predict_presorted([sample]):
-        return False
-    return bool(np.asarray(check_fn()))
-
-
 def _skip_radix_tier(sample, n, begin_bit, end_bit, total_bits,
                      cfg) -> bool:
     """Host pre-classifier (the reference's CPU planner analog,
     gpu_radix_sort.cu:29-104): predict from a strided sample whether the
     radix tier's static capacities are doomed, and skip straight to the
     skew tier if so.  Mispredictions are safe — the flag-mode overflow
-    check still guards correctness."""
+    check (or the in-graph cond fallback) still guards correctness."""
     from tpusort import planner
     from tpusort.ops import msd as _msd
 
@@ -363,7 +369,16 @@ def _skip_radix_tier(sample, n, begin_bit, end_bit, total_bits,
     return planner.predict_radix_overflow(sample, plan, n)
 
 
-def _run_tier_chain(impl, args, kw, cfg, skip_radix=False):
+def _run_tier_chain(dispatch, cfg, skip_radix=False, cond_ok=False,
+                    first_sync=None):
+    """Run the fallback tiers until one succeeds.
+
+    ``dispatch(tier, mode)`` -> (keys, values, overflow).  With
+    ``cond_ok`` the radix tier carries its own in-graph fallback (single
+    dispatch, no readback); otherwise each tier's overflow flag is read
+    back and the next tier re-dispatched.  ``first_sync`` (the cache
+    refresh) runs right after the first dispatch so its host round trip
+    overlaps the running sort."""
     tiers = _tier_chain(cfg)
     if skip_radix and len(tiers) > 2:
         tiers = tiers[1:]
@@ -371,34 +386,104 @@ def _run_tier_chain(impl, args, kw, cfg, skip_radix=False):
     for i, tier in enumerate(tiers):
         if out_k is not None:
             del out_k, out_v      # free the overflowed tier's garbage
-        out_k, out_v, ovf = impl(*args, tier=tier, **kw)
+        if cond_ok and tier == "radix":
+            out_k, out_v, _ = dispatch(tier, "cond")
+            if first_sync is not None:
+                first_sync()
+            break                 # in-graph fallback: always correct
+        out_k, out_v, ovf = dispatch(tier, "flag")
+        if first_sync is not None:
+            first_sync()
+            first_sync = None
         if i == len(tiers) - 1 or not bool(ovf):
             break
     return out_k, out_v
 
 
+def _tiered_flow(ckey, n, n_ops, classify, decide, cfg, dispatch, identity):
+    """The host tiering flow shared by ``sort`` and ``sort_planes``.
+
+    ``classify``: None (problem too small / sub-range sort — dispatch the
+    default chain with zero host syncs), or ``(sample_dev, check_fn)``
+    where ``sample_dev`` is the ALREADY-DISPATCHED strided-sample device
+    array (queued ahead of the sort, so fetching it overlaps the sort's
+    device time) and ``check_fn`` runs the fused full-input sortedness
+    check.  ``decide(sample) -> (presorted_likely, tier)`` is the host
+    classifier; its result is cached under ``ckey`` so steady workloads
+    skip the classify wait entirely.  ``identity()`` returns the
+    presorted short-circuit output (the reference's finished buckets
+    skipping every remaining pass, gpu_radix_sort.h:359-360,482-485,
+    taken to the limit — constant keys included)."""
+    cond_ok = n <= (_COND_MAX if n_ops == 1 else _COND_MAX // 2)
+    if classify is None:
+        return _run_tier_chain(dispatch, cfg, cond_ok=cond_ok)
+    sample_dev, check_fn = classify
+    if len(_TIER_CACHE) > 256:
+        _TIER_CACHE.clear()
+    cached = _TIER_CACHE.get(ckey)
+    if cached is None or cached["presorted"]:
+        # cold (or presorted-likely): classify BEFORE dispatching the
+        # sort, so a presorted input costs one comparison pass, not a sort
+        presorted, tier = decide(np.asarray(sample_dev))
+        if presorted and bool(np.asarray(check_fn())):
+            _TIER_CACHE[ckey] = {"presorted": True, "tier": tier}
+            return identity()
+        _TIER_CACHE[ckey] = {"presorted": False, "tier": tier}
+        return _run_tier_chain(dispatch, cfg,
+                               skip_radix=(tier == "equidepth"),
+                               cond_ok=cond_ok)
+    # steady state: dispatch by the cached tier immediately; the classify
+    # fetch runs while the sort executes and refreshes the cache
+    tier = cached["tier"]
+
+    def refresh():
+        p, t = decide(np.asarray(sample_dev))
+        _TIER_CACHE[ckey] = {"presorted": p, "tier": t}
+
+    return _run_tier_chain(dispatch, cfg,
+                           skip_radix=(tier == "equidepth"),
+                           cond_ok=cond_ok, first_sync=refresh)
+
+
 def _sort_host_tiered(keys, vt, *, descending, begin_bit, end_bit, stable,
                       cfg):
+    from tpusort import planner
+
     kw = dict(descending=descending, begin_bit=begin_bit, end_bit=end_bit,
               stable=stable, cfg=cfg)
     n = keys.shape[0]
     total_bits = _dtypes.key_bits(keys.dtype)
     eb = total_bits if end_bit is None else end_bit
-    skip = False
-    if begin_bit == 0 and eb == total_bits:
-        sample = _host_sample(
-            lambda stride: _planner_sample_impl(keys, stride, descending), n)
-        if _presorted_short_circuit(
-                sample, lambda: _is_sorted_keys_impl(keys, descending)):
-            # coerce: the tier-chain path returns JAX arrays for values,
-            # so the identity short-circuit must too (callers may pass
-            # numpy arrays / lists)
-            return keys, tuple(jnp.asarray(v) for v in vt)
-        if "equidepth" in _tier_chain(cfg):
-            skip = _skip_radix_tier(sample, n, begin_bit, end_bit,
-                                    total_bits, cfg)
-    return _run_tier_chain(_sort_tier_impl, (keys, vt), kw, cfg,
-                           skip_radix=skip)
+
+    def dispatch(tier, mode):
+        return _sort_tier_impl(keys, vt, tier=tier, mode=mode, **kw)
+
+    def identity():
+        # coerce: the tier-chain path returns JAX arrays for values, so
+        # the identity short-circuit must too (callers may pass numpy
+        # arrays / lists)
+        return keys, tuple(jnp.asarray(v) for v in vt)
+
+    def decide(sample):
+        presorted = planner.predict_presorted([sample])
+        tier = "radix"
+        if "equidepth" in _tier_chain(cfg) and _skip_radix_tier(
+                sample, n, begin_bit, end_bit, total_bits, cfg):
+            tier = "equidepth"
+        return presorted, tier
+
+    classify = None
+    if begin_bit == 0 and eb == total_bits and n >= planner.PLANNER_MIN_N:
+        stride = max(1, n // planner.SAMPLE_TARGET)
+        classify = (
+            _planner_sample_impl(keys, stride, descending),
+            lambda: _is_sorted_keys_impl(keys, descending),
+        )
+    ckey = ("k", n, str(keys.dtype),
+            tuple(str(getattr(v, "dtype", "?")) for v in vt),
+            descending, stable, begin_bit, eb, cfg)
+    return _tiered_flow(ckey, n, 1 + len(vt), classify, decide, cfg,
+                        dispatch, identity)
 
 
 def _host_tiered_applicable(keys, values_tuple, algorithm, cfg) -> bool:
@@ -411,6 +496,66 @@ def _host_tiered_applicable(keys, values_tuple, algorithm, cfg) -> bool:
     if algo not in _TIERED_ALGOS:
         return False
     return not any(isinstance(v, jax.core.Tracer) for v in values_tuple)
+
+
+def _op_dtype(a) -> np.dtype:
+    """Array-like dtype without materializing or transferring anything."""
+    d = getattr(a, "dtype", None)
+    return np.dtype(d) if d is not None else np.asarray(a).dtype
+
+
+def _sort_64bit_boundary(keys, vt, had, single, kd, *, descending,
+                         begin_bit, end_bit, algorithm, stable):
+    """Host-side 64-bit boundary: this backend cannot materialize 64-bit
+    arrays, so 64-bit keys/values are bitcast into uint32 planes ON THE
+    HOST, sorted through the plane interface, and reassembled.  This
+    makes the public ``sort()`` accept every key dtype of the reference's
+    ``Traits`` (``lsb/cub/cub/util_type.cuh:1104-1130``) and the full
+    {4,8}-byte key x value tuning matrix
+    (``msb/src/sort/gpu_sort_config.h:146-207``).  64-bit operands come
+    back as numpy arrays (no device type can hold them); 32-bit payloads
+    stay device arrays."""
+    if np.asarray(keys).ndim != 1:
+        raise NotImplementedError("tpusort currently sorts 1-D arrays")
+    if kd.itemsize == 8:
+        planes = _dtypes.split64_host(keys)
+        key_dtype = kd.name
+    else:
+        planes = (np.ascontiguousarray(np.asarray(keys)).view(np.uint32),)
+        key_dtype = kd.name
+    proc_vals: list = []
+    spec = []
+    for v in vt:
+        vd = _op_dtype(v)
+        if vd.itemsize == 8:
+            vhi, vlo = _dtypes.split64_host(v)
+            proc_vals += [vhi, vlo]
+            spec.append(("v64", vd))
+        else:
+            proc_vals.append(v)
+            spec.append(("v32", vd))
+    out = sort_planes(
+        planes, proc_vals or None, key_dtype=key_dtype,
+        descending=descending, begin_bit=begin_bit, end_bit=end_bit,
+        algorithm=algorithm, stable=stable,
+    )
+    out_planes = out[0] if had else out
+    if kd.itemsize == 8:
+        out_keys = _dtypes.join64_host(out_planes[0], out_planes[1], kd)
+    else:
+        out_keys = np.asarray(out_planes[0]).view(kd)
+    if not had:
+        return out_keys
+    raw = list(out[1])
+    out_vals = []
+    for kind, vd in spec:
+        if kind == "v64":
+            vhi, vlo = raw.pop(0), raw.pop(0)
+            out_vals.append(_dtypes.join64_host(vhi, vlo, vd))
+        else:
+            # 32-bit payloads come back already viewed to their dtype
+            out_vals.append(raw.pop(0))
+    return out_keys, (out_vals[0] if single else tuple(out_vals))
 
 
 def sort(
@@ -433,8 +578,32 @@ def sort(
     ``msb/src/sort/gpu_radix_sort.h:197``); keys-only output is identical
     either way.  Returns sorted keys, or ``(keys, values)`` when values are
     given.
+
+    64-bit key/value dtypes (uint64/int64/float64) are accepted even when
+    the backend cannot hold 64-bit arrays (TPU): they are split into
+    uint32 planes at the host boundary and reassembled, so those operands
+    return as numpy arrays (see :func:`sort_planes` for the fully
+    device-resident 64-bit interface).
     """
     vt, had, single = _normalize_values(values)
+    kd = _op_dtype(keys)
+    if not jax.config.jax_enable_x64 and (
+        kd.itemsize == 8
+        or any(_op_dtype(v).itemsize == 8 for v in vt)
+    ):
+        if isinstance(keys, jax.core.Tracer) or any(
+            isinstance(v, jax.core.Tracer) for v in vt
+        ):
+            raise NotImplementedError(
+                "64-bit operands inside jit require the plane interface "
+                "(sort_planes); the host bitcast boundary needs concrete "
+                "arrays"
+            )
+        return _sort_64bit_boundary(
+            keys, vt, had, single, kd, descending=descending,
+            begin_bit=begin_bit, end_bit=end_bit, algorithm=algorithm,
+            stable=stable,
+        )
     # validate BEFORE choosing a dispatch path: the host-tiered route must
     # reject exactly what _sort_impl rejects (a 2-D input would otherwise
     # be silently column-"sorted" by the reference tier)
@@ -587,10 +756,11 @@ def _sort_planes_impl(planes, values_tuple, *, key_dtype, descending,
 @functools.partial(
     jax.jit,
     static_argnames=("key_dtype", "descending", "begin_bit", "end_bit",
-                     "tier", "stable", "cfg"),
+                     "tier", "stable", "cfg", "mode"),
 )
 def _sort_planes_tier_impl(planes, values_tuple, *, key_dtype, descending,
-                           begin_bit, end_bit, tier, stable, cfg):
+                           begin_bit, end_bit, tier, stable, cfg,
+                           mode: str = "flag"):
     from tpusort.ops.equidepth import sort_twiddled_equidepth
     from tpusort.ops.msd import sort_twiddled_msd
 
@@ -602,7 +772,13 @@ def _sort_planes_tier_impl(planes, values_tuple, *, key_dtype, descending,
     total_bits = traits.bits
     eb = total_bits if end_bit is None else end_bit
     ovf = jnp.asarray(False)
-    if tier == "radix":
+    if tier == "radix" and mode == "cond":
+        sp, sv = sort_twiddled_msd(
+            tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
+            total_bits=total_bits, stable=stable, on_overflow="cond",
+            config=cfg,
+        )
+    elif tier == "radix":
         sp, sv, ovf = sort_twiddled_msd(
             tw, values_tuple, begin_bit=begin_bit, end_bit=eb,
             total_bits=total_bits, stable=stable, on_overflow="flag",
@@ -658,6 +834,8 @@ def sort_planes(
         raise ValueError(f"invalid bit range [{begin_bit}, {eb_chk})")
     cfg = _configs.get_config(traits_chk.bits, had)
     if _host_tiered_applicable(planes[0], vt, algorithm, cfg):
+        from tpusort import planner
+
         kw = dict(key_dtype=key_dtype, descending=descending,
                   begin_bit=begin_bit, end_bit=end_bit,
                   stable=(stable and algorithm != "msd_unstable"), cfg=cfg)
@@ -665,29 +843,40 @@ def sort_planes(
         n_pl = np.shape(pt[0])[0]
         tb_pl = _dtypes.traits_for(key_dtype).bits
         eb_pl = tb_pl if end_bit is None else end_bit
-        skip = False
-        if begin_bit == 0 and eb_pl == tb_pl:
-            sample = _host_sample(
-                lambda stride: _planner_sample_planes_impl(
-                    pt, stride, key_dtype, descending), n_pl)
-            if _presorted_short_circuit(
-                    sample,
-                    lambda: _is_sorted_planes_impl(
-                        pt, key_dtype, descending)):
-                # match the normal path's output type exactly (uint32
-                # jax arrays), whatever array-likes the caller passed
-                out_id = tuple(
-                    jnp.asarray(p).view(jnp.uint32) for p in pt
-                )
-                if not had:
-                    return out_id
-                vt_id = tuple(jnp.asarray(v) for v in vt)
-                return out_id, (vt_id[0] if single else vt_id)
-            if "equidepth" in _tier_chain(cfg):
-                skip = _skip_radix_tier(sample, n_pl, begin_bit, end_bit,
-                                        tb_pl, cfg)
-        out_planes, out_vals = _run_tier_chain(
-            _sort_planes_tier_impl, (pt, vt), kw, cfg, skip_radix=skip)
+
+        def dispatch(tier, mode):
+            return _sort_planes_tier_impl(pt, vt, tier=tier, mode=mode,
+                                          **kw)
+
+        def identity():
+            # match the normal path's output type exactly (uint32 jax
+            # arrays), whatever array-likes the caller passed
+            out_id = tuple(jnp.asarray(p).view(jnp.uint32) for p in pt)
+            return out_id, tuple(jnp.asarray(v) for v in vt)
+
+        def decide(sample):
+            presorted = planner.predict_presorted([sample])
+            tier = "radix"
+            if "equidepth" in _tier_chain(cfg) and _skip_radix_tier(
+                    sample, n_pl, begin_bit, end_bit, tb_pl, cfg):
+                tier = "equidepth"
+            return presorted, tier
+
+        classify = None
+        if begin_bit == 0 and eb_pl == tb_pl and \
+                n_pl >= planner.PLANNER_MIN_N:
+            stride = max(1, n_pl // planner.SAMPLE_TARGET)
+            classify = (
+                _planner_sample_planes_impl(pt, stride, key_dtype,
+                                            descending),
+                lambda: _is_sorted_planes_impl(pt, key_dtype, descending),
+            )
+        ckey = ("p", n_pl, key_dtype,
+                tuple(str(getattr(v, "dtype", "?")) for v in vt), descending,
+                kw["stable"], begin_bit, eb_pl, cfg)
+        out_planes, out_vals = _tiered_flow(
+            ckey, n_pl, len(pt) + len(vt), classify, decide, cfg,
+            dispatch, identity)
         if not had:
             return out_planes
         return out_planes, (out_vals[0] if single else out_vals)

@@ -41,6 +41,8 @@ __all__ = [
     "twiddle_planes_out",
     "split64",
     "join64",
+    "split64_host",
+    "join64_host",
     "key_bits",
     "SUPPORTED_KEY_DTYPES",
 ]
@@ -139,6 +141,34 @@ def join64(hi: jax.Array, lo: jax.Array, dtype=jnp.uint64) -> jax.Array:
     if jnp.dtype(dtype) == jnp.uint64:
         return u
     return u.view(dtype)
+
+
+def split64_host(keys) -> Tuple["np.ndarray", "np.ndarray"]:
+    """HOST-side (hi, lo) uint32 planes from any 64-bit array-like.
+
+    Unlike :func:`split64` this never touches jax (no ``jax_enable_x64``
+    needed): it is the public-API boundary for backends that cannot
+    materialize 64-bit arrays at all (TPU).  The bitcast view covers every
+    64-bit key dtype of the reference's ``Traits``
+    (``lsb/cub/cub/util_type.cuh:1104-1130``)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(keys))
+    if a.dtype.itemsize != 8:
+        raise ValueError(f"split64_host expects a 64-bit dtype, got {a.dtype}")
+    u = a.view(np.uint64)
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return hi, lo
+
+
+def join64_host(hi, lo, dtype="uint64") -> "np.ndarray":
+    """HOST-side inverse of :func:`split64_host` (returns numpy)."""
+    import numpy as np
+
+    u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(lo).astype(np.uint64)
+    return u.view(np.dtype(dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -181,23 +181,31 @@ def _fused_kernel(
         # COLUMN-MAJOR tile (same linear element order, low index bits on
         # the sublane axis — bitonic._bit; S=512 at K=2^16 leaves only 28
         # lane-rotate stages in the full sort vs 91 row-major).
-        t_lay = _t_layout_ok(rows)
         ops_net = kplanes + values
-        if t_lay:
-            ops_net = [_to_col(a, t_lay) for a in ops_net]
-        if sorted_run:
-            # input windows are monotone slices of previously sorted tiles;
-            # garbage tails rewritten to 0xFFFFFFFF keep each pow2-aligned
-            # subrun sorted, so a merge network suffices (60-69 stages vs
-            # 105 for the full sort)
-            sorted_all = _merge_sorted_runs(
-                ops_net, sorted_run, num_keys=n_planes, t_layout=t_lay
-            )
+        if sorted_run and sorted_run >= k:
+            # the whole tile is already sorted (a window of a presorted
+            # padded layout: valid prefix ascending, garbage tail
+            # rewritten to the all-ones sentinel above) — the pass is
+            # EMIT-ONLY: no network, no layout transposes (the
+            # sorted-window finish, DESIGN.md r5)
+            sorted_all = ops_net
         else:
-            sorted_all = _sort_network(ops_net, num_keys=n_planes,
-                                       t_layout=t_lay)
-        if t_lay:
-            sorted_all = [_from_col(a, t_lay) for a in sorted_all]
+            t_lay = _t_layout_ok(rows)
+            if t_lay:
+                ops_net = [_to_col(a, t_lay) for a in ops_net]
+            if sorted_run:
+                # input windows are monotone slices of previously sorted
+                # tiles; garbage tails rewritten to 0xFFFFFFFF keep each
+                # pow2-aligned subrun sorted, so a merge network suffices
+                # (60-69 stages vs 105 for the full sort)
+                sorted_all = _merge_sorted_runs(
+                    ops_net, sorted_run, num_keys=n_planes, t_layout=t_lay
+                )
+            else:
+                sorted_all = _sort_network(ops_net, num_keys=n_planes,
+                                           t_layout=t_lay)
+            if t_lay:
+                sorted_all = [_from_col(a, t_lay) for a in sorted_all]
         n_valid = [
             jnp.sum(valid[b].astype(jnp.int32)) for b in range(nb)
         ]

@@ -86,6 +86,7 @@ def plan_msd(
     s: Optional[int] = None,
     leaf_max: Optional[int] = None,
     leaf_profile: str = "raw",
+    t1_force: Optional[int] = None,
 ) -> Optional[MsdPlan]:
     """Compute a static pass plan, or None if no feasible plan exists.
 
@@ -249,6 +250,15 @@ def plan_msd(
     for p in range(1, 5):
         if bits < log_r * p:
             break
+        if t1_force is not None:
+            # fixed pass-0 tile count (the sorted-window finish: the input
+            # IS the padded physical layout, m1 = t1*k exactly)
+            plan = _try(p, t1_force)
+            if plan is not None:
+                c = _cost(plan)
+                if best is None or c < best[0]:
+                    best = (c, plan)
+            continue
         quantum = k // math.gcd(s1, k)
         tiles_needed = -(-n // k)
         t1_base = -(-tiles_needed // quantum) * quantum
@@ -831,6 +841,7 @@ def _exchange(o: jax.Array, spec: PassSpec) -> jax.Array:
 def _run_passes_pallas(
     ops: List[jax.Array], nplanes: int, n: int, plan: MsdPlan,
     unstable: bool = False, batch: Optional[int] = None,
+    init_chain: Optional[Tuple[jax.Array, int, int]] = None,
 ) -> Tuple[List[jax.Array], Tuple[jax.Array, int], jax.Array]:
     """All partition passes via the fused kernel.
 
@@ -838,6 +849,12 @@ def _run_passes_pallas(
     bytes): each pass emits (T, R) counts; the table for the next consumer
     is the exchanged, pow2-granularity subdivision of those counts.
     Returns (ops, (counts_table (m/q,), q), overflow).
+
+    ``init_chain`` = (counts_table, q, sorted_run) seeds pass 0 with an
+    EXISTING validity chain and sorted-subrun structure instead of the
+    dense [0, n) prefix — the sorted-window finish path (the input is
+    already a padded layout of sorted runs; with sorted_run == K pass 0
+    skips its network entirely and becomes emit-only).
     """
     from tpusort.kernels.partition import partition_pass_fused
 
@@ -845,6 +862,8 @@ def _run_passes_pallas(
     q = None
     overflow = jnp.asarray(False)
     prev_s = None
+    if init_chain is not None:
+        ctable, q, prev_s = init_chain
     for i, spec in enumerate(plan.passes):
         t = spec.n_seg * spec.t_seg
         tiled = [o.reshape(t, spec.k) for o in ops]
@@ -885,6 +904,92 @@ def _run_passes_pallas(
         ctable = c.reshape(-1)
         ops = data
     return ops, (ctable, q), overflow
+
+
+def sort_windows_msd(
+    planes: Tuple[jax.Array, ...],
+    values: Sequence[jax.Array],
+    *,
+    window_counts: jax.Array,
+    window: int,
+    n: int,
+    total_bits: int,
+    plan_kwargs: Optional[dict] = None,
+    config=None,
+):
+    """Finish a padded-window layout that is ALREADY sorted per window.
+
+    Inputs are flat (m0,) arrays, m0 = n_windows * window; window w holds
+    a SORTED valid prefix of ``window_counts[w]`` elements followed by
+    positional garbage.  This is the distributed sorted-window finish
+    (DESIGN.md r5): the post-shuffle receive buffer's runs are monotone
+    slices of locally sorted shards, so the finish need not re-sort from
+    scratch — the window counts seed the engine's validity chain at tile
+    granularity and ``sorted_run = K`` makes pass 0 EMIT-ONLY (no
+    compare-exchange network); later passes and the leaf run the standard
+    merge pipeline and the fused leaf+collapse emits the dense (n,)
+    result.  The reference analog is its finished buckets writing straight
+    to the output and skipping remaining passes
+    (``msb/src/sort/gpu_radix_sort.h:359-360``) — here it is the
+    *incoming* sortedness that is never discarded.
+
+    Keys-only or unstable pairs (values ride the raw path; the caller owns
+    the 0xFFFFFFFF sentinel pre-check when values are present, as in
+    ``sort_twiddled_msd``'s raw path).  Returns ``(ops, overflow)`` with
+    ops = [planes..., values...] dense (n,), or ``None`` when the geometry
+    does not admit a windows plan (caller falls back to
+    collapse-then-sort).
+    """
+    nplanes = len(planes)
+    ops = [jnp.asarray(p) for p in planes] + [
+        jnp.asarray(v).view(jnp.uint32) for v in values
+    ]
+    m0 = ops[0].shape[0]
+    if plan_kwargs is None and config is not None:
+        plan_kwargs = config.plan_kwargs()
+    kwargs = dict(plan_kwargs or {})
+    kwargs.pop("min_n", None)
+    kwargs.setdefault("leaf_profile", "raw")
+    k = kwargs.get("k", 1 << 16)
+    if nplanes > 3 or total_bits != 32 * nplanes:
+        return None
+    if m0 % k or window % k or m0 // window < 1:
+        return None
+    plan = plan_msd(n, 0, total_bits, t1_force=m0 // k, **kwargs)
+    if plan is None or plan.m1 != m0:
+        return None
+    # validity chain at tile granularity: tile j of window w holds
+    # clip(count_w - j*K, 0, K) valid elements as a prefix (tiles never
+    # straddle windows: window % K == 0)
+    tiles_per_w = window // k
+    c0 = jnp.clip(
+        window_counts.astype(jnp.int32)[:, None]
+        - jnp.arange(tiles_per_w, dtype=jnp.int32)[None, :] * k,
+        0, k,
+    ).reshape(-1)
+    ops, (ctable, q_fin), overflow = _run_passes_pallas(
+        ops, nplanes, n, plan, unstable=bool(values),
+        batch=(config.pass_batch if config is not None else None),
+        init_chain=(c0, k, k),
+    )
+    from tpusort.kernels.bitonic import sort_tiles_counts_collapsed
+
+    pack = 1
+    while (
+        pack * 2 * plan.seg <= (1 << 15)
+        and plan.n_segments % (pack * 2) == 0
+    ):
+        pack *= 2
+    nt = plan.n_segments // pack
+    tile = pack * plan.seg
+    ct = ctable.reshape(nt, tile // q_fin)
+    last_s = plan.passes[-1].s
+    ops = sort_tiles_counts_collapsed(
+        [o.reshape(nt, tile) for o in ops], ct, q_fin, n,
+        sorted_run=(last_s & -last_s),
+        num_keys=nplanes,
+    )
+    return ops, overflow
 
 
 def _run_passes_xla(

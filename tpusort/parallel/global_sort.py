@@ -218,6 +218,8 @@ def _global_sort_shard(
     capacity: int,
     chunks: int,
     return_overflow: bool = False,
+    finish_mode: str = "auto",
+    finish_plan_kwargs: Optional[dict] = None,
 ):
     """Per-shard body (runs under shard_map). ops = planes + values, u32."""
     planes = list(ops[:nplanes])
@@ -283,37 +285,92 @@ def _global_sort_shard(
     # overflow that forced its fallback on every call.
     from tpusort.kernels.collapse import collapse_segments
 
+    def _norm_params():
+        # range normalization: shard r's keys lie in
+        # [splitter[r-1], splitter[r]] — a narrow VALUE range whose top
+        # bits are nearly constant, which would concentrate the engine's
+        # static MSD digits into a handful of runs and force the slow
+        # in-graph fallback at production shard widths.
+        # (k - base) << clz(width) is a monotone bijection of the shard's
+        # range onto a full-width domain, so the engine runs its fast
+        # path on ANY split; the map is undone after the sort (low bits
+        # shift in as zeros, exactly recoverable).
+        spl = splitters[0]
+        base = jnp.where(r > 0, spl[jnp.maximum(r - 1, 0)],
+                         jnp.uint32(0))
+        hi_s = jnp.where(r < d - 1, spl[jnp.minimum(r, d - 2)],
+                         jnp.uint32(0xFFFFFFFF))
+        width = jnp.maximum(hi_s - base, jnp.uint32(1))
+        sh = jnp.minimum(
+            jax.lax.clz(width).astype(jnp.uint32), jnp.uint32(31)
+        )
+        return base, sh
+
+    def _finish_windows(seg_counts):
+        """Sorted-window finish (DESIGN.md r5): the received runs are
+        monotone slices of locally SORTED shards, so they feed the engine
+        pipeline directly — the window counts seed the validity chain,
+        pass 0 is emit-only, and the collapse disappears (the fused
+        leaf+collapse emits the dense shard).  Returns the finished ops
+        list, or None when the geometry admits no windows plan."""
+        from tpusort.ops.msd import sort_windows_msd
+
+        base, sh = _norm_params()
+        kn = ((recv[0] - base) << sh).reshape(-1)
+        res = sort_windows_msd(
+            (kn,), tuple(x.reshape(-1) for x in recv[1:]),
+            window_counts=seg_counts, window=capacity, n=n_shard,
+            total_bits=32, plan_kwargs=finish_plan_kwargs,
+        )
+        if res is None:
+            return None
+        ops2, ovf2 = res
+        if len(recv) > 1:
+            # pairs ride the raw path: a VALID normalized key equal to the
+            # garbage sentinel could swap payloads with a pad slot — same
+            # pre-check as the single-chip raw pairs path
+            pos_in = jnp.arange(d * capacity, dtype=jnp.int32) % capacity
+            vmask = pos_in < jnp.repeat(seg_counts, capacity)
+            ovf2 = ovf2 | jnp.any(
+                vmask & (kn == jnp.uint32(0xFFFFFFFF))
+            )
+
+        def _exact(_):
+            # windows-skew fallback: compact and run the exact sort
+            compacted = collapse_segments(
+                [x.reshape(d, capacity) for x in recv], seg_counts,
+                n_shard,
+            )
+            srt = jax.lax.sort(compacted, num_keys=nplanes)
+            return list(srt)
+
+        def _ok(_):
+            return [(ops2[0] >> sh) + base] + list(ops2[1:])
+
+        return jax.lax.cond(ovf2, _exact, _ok, None)
+
     def finish(_):
-        # collapse + engine sort live INSIDE the cond so the overflow path
-        # does not pay for the main pipeline's expensive tail on top of
-        # the allgather fallback (the shuffle above already happened; only
+        # the finish lives INSIDE the cond so the overflow path does not
+        # pay for the main pipeline's expensive tail on top of the
+        # allgather fallback (the shuffle above already happened; only
         # its bytes are sunk).  ``overflow`` is pmax-uniform across the
         # axis, so branch divergence cannot deadlock the fallback's
         # all_gather.
         seg_counts = jnp.minimum(recv_counts, jnp.int32(capacity))
+        if finish_mode != "collapse" and nplanes == 1 and d > 1:
+            out_w = _finish_windows(seg_counts)
+            if out_w is not None:
+                return out_w
+            if finish_mode == "windows":
+                raise ValueError(
+                    f"no sorted-window finish plan for capacity={capacity}"
+                    f" (needs capacity % tile == 0 and a feasible t1)"
+                )
         compacted = collapse_segments(
             [x.reshape(d, capacity) for x in recv], seg_counts, n_shard
         )
         if nplanes == 1 and d > 1:
-            # range-normalized finish: shard r's keys lie in
-            # [splitter[r-1], splitter[r]] — a narrow VALUE range whose
-            # top bits are nearly constant, which would concentrate the
-            # engine's static MSD digits into a handful of runs and
-            # force the slow in-graph fallback at production shard
-            # widths.  (k - base) << clz(width) is a monotone bijection
-            # of the shard's range onto a full-width domain, so the
-            # engine runs its fast path on ANY split; the map is undone
-            # after the sort (low bits shift in as zeros, exactly
-            # recoverable).
-            spl = splitters[0]
-            base = jnp.where(r > 0, spl[jnp.maximum(r - 1, 0)],
-                             jnp.uint32(0))
-            hi_s = jnp.where(r < d - 1, spl[jnp.minimum(r, d - 2)],
-                             jnp.uint32(0xFFFFFFFF))
-            width = jnp.maximum(hi_s - base, jnp.uint32(1))
-            sh = jnp.minimum(
-                jax.lax.clz(width).astype(jnp.uint32), jnp.uint32(31)
-            )
+            base, sh = _norm_params()
             kn = (compacted[0] - base) << sh
             sp2, sv2 = _local_engine_sort([kn], compacted[1:], 32)
             k_out = (sp2[0] >> sh) + base
@@ -341,7 +398,8 @@ def _global_sort_shard(
 
 
 def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
-                       capacity, chunks, return_overflow=False):
+                       capacity, chunks, return_overflow=False,
+                       finish_mode="auto", finish_plan_kwargs=None):
     spec = P(axis_name)
     body = functools.partial(
         _global_sort_shard,
@@ -352,6 +410,8 @@ def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
         capacity=capacity,
         chunks=chunks,
         return_overflow=return_overflow,
+        finish_mode=finish_mode,
+        finish_plan_kwargs=finish_plan_kwargs,
     )
     n_ops = nplanes + n_values
     out_specs = tuple(spec for _ in range(n_ops))
@@ -369,13 +429,14 @@ def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
 
 
 def _capacity_for(n_shard: int, d: int, capacity_factor: float,
-                  chunks: int) -> int:
+                  chunks: int, quantum: int = 128) -> int:
     cap = min(
         n_shard,
         int(capacity_factor * max(n_shard // d, 1) + 127) // 128 * 128,
     )
-    # chunked exchange slices the capacity axis evenly
-    q = 128 * chunks
+    # chunked exchange slices the capacity axis evenly; the sorted-window
+    # finish additionally needs whole engine tiles per window
+    q = max(128 * chunks, quantum)
     cap = max(q, (cap + q - 1) // q * q)
     return cap
 
@@ -387,6 +448,7 @@ def make_global_sort(
     capacity_factor: float = 4.0,
     chunks: int = 1,
     adaptive: bool = False,
+    finish: str = "auto",
 ):
     """Build a jitted distributed sorter over a 1-D mesh axis.
 
@@ -394,6 +456,17 @@ def make_global_sort(
     along the axis; output is the globally sorted array with the same
     sharding.  ``chunks`` splits the all-to-all into that many independent
     pieces along the capacity axis (overlappable transfers).
+
+    ``finish`` selects the post-shuffle strategy: ``"collapse"`` compacts
+    the received padded runs and runs a full engine sort;
+    ``"windows"``/``"auto"`` feed the received runs — already sorted, each
+    a monotone slice of a locally sorted shard — straight into the engine
+    pipeline (window counts seed the validity chain, pass 0 is emit-only,
+    the collapse disappears; DESIGN.md r5 sorted-window finish).  "auto"
+    rounds the capacity to whole engine tiles and silently falls back to
+    collapse where no windows plan exists (tiny shards).  Windows favors
+    a LOW ``capacity_factor`` (~1.5-2): the pipeline processes the padded
+    layout, so padding multiplies both ICI bytes and finish compute.
 
     ``adaptive=True`` is the host-owned capacity tier (the distributed
     analog of the single-chip ``on_overflow="flag"`` chain): after each
@@ -433,9 +506,34 @@ def make_global_sort(
         vops = [jnp.asarray(v).view(jnp.uint32) for v in vt]
         ops = list(planes) + vops
 
+        # windows finish wants capacity in whole engine tiles; the plan
+        # geometry comes from the registered single-chip config.  "auto"
+        # resolves to collapse off-TPU: the interpret-mode emulation of
+        # the nested finish graphs is CI-hostile, and the windows path is
+        # covered there by its explicit tests + the driver dryrun.
+        from tpusort import configs as _configs
+
+        fin_mode = finish
+        if finish == "auto" and jax.default_backend() != "tpu":
+            fin_mode = "collapse"
+        cfg = _configs.get_config(32, bool(vt))
+        fin_kwargs = {
+            kk: vv for kk, vv in cfg.plan_kwargs().items() if kk != "min_n"
+        }
         base = (len(planes), len(vops), n_shard)
         factor = factors.get(base, capacity_factor)
         capacity = _capacity_for(n_shard, d, factor, chunks)
+        if fin_mode != "collapse" and len(planes) == 1:
+            # round up to whole engine tiles so the windows plan exists —
+            # unless that would blow the padding up (tiny shards: the
+            # collapse finish is the right tool there anyway)
+            cap_w = _capacity_for(n_shard, d, factor, chunks,
+                                  quantum=fin_kwargs.get("k", 1 << 16))
+            # never past n_shard (capacity == n_shard makes overflow
+            # impossible — the adaptive tier's saturation invariant) and
+            # never more than 2x the unquantized padding
+            if cap_w <= 2 * capacity and cap_w <= n_shard:
+                capacity = cap_w
         geom = base + (capacity,)
         shard_fn = shard_fns.get(geom)
         if shard_fn is None:
@@ -445,6 +543,7 @@ def make_global_sort(
             shard_fn = shard_fns[geom] = _make_sharded_body(
                 mesh, axis_name, len(planes), len(vops), n_shard, d,
                 capacity, chunks, return_overflow=adaptive,
+                finish_mode=fin_mode, finish_plan_kwargs=fin_kwargs,
             )
         out = shard_fn(*ops)
         if adaptive:
