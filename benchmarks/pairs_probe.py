@@ -76,18 +76,24 @@ def main():
         dt = _time(sync, overhead, f, vals, perm, iters=args.iters)
         out["take_ms"] = round(dt * 1e3, 2)
         out["take_melem_s"] = round(n / dt / 1e6, 1)
+        print(f"# take {out['take_melem_s']} Melem/s", file=sys.stderr,
+              flush=True)
 
     if "argsort2" in args.probes:
         f = jax.jit(lambda k: tpusort.argsort(k))
         dt = _time(sync, overhead, f, keys, iters=args.iters)
         out["argsort2_ms"] = round(dt * 1e3, 2)
         out["argsort2_melem_s"] = round(n / dt / 1e6, 1)
+        print(f"# argsort2 {out['argsort2_melem_s']} Melem/s",
+              file=sys.stderr, flush=True)
 
     if "stable3" in args.probes:
         f = jax.jit(lambda k, v: tpusort.sort(k, v, stable=True))
         dt = _time(sync, overhead, f, keys, vals, iters=args.iters)
         out["stable3_ms"] = round(dt * 1e3, 2)
         out["stable3_mpairs_s"] = round(n / dt / 1e6, 1)
+        print(f"# stable3 {out['stable3_mpairs_s']} Mpairs/s",
+              file=sys.stderr, flush=True)
 
     if "gapply" in args.probes:
         base = _configs.get_config(32, True, "tpu")
@@ -104,6 +110,9 @@ def main():
             ok &= jnp.all(jnp.take(keys, gv.astype(jnp.int32)) == gk)
             ok &= jnp.all((gk[1:] != gk[:-1]) | (gv[1:] > gv[:-1]))
             out["gapply_verified"] = bool(np.asarray(jax.jit(lambda o: o)(ok)))
+            print(f"# gapply {out['gapply_mpairs_s']} Mpairs/s "
+                  f"verified={out['gapply_verified']}", file=sys.stderr,
+                  flush=True)
         except Exception as e:  # compile failure is a result, not a crash
             out["gapply_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         finally:

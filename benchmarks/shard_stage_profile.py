@@ -73,11 +73,18 @@ def main():
     ap.add_argument("--pairs", action="store_true")
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--capacity-factor", type=float, default=1.35)
+    ap.add_argument("--finish", default="both",
+                    choices=["collapse", "windows", "both"],
+                    help="post-shuffle finish variant(s) to profile: the "
+                         "r4 collapse+full-sort, the r5 sorted-window "
+                         "emit-only-pass-0 pipeline, or both")
     args = ap.parse_args()
 
     n_shard = 1 << args.log2n_shard
     d = args.d
-    capacity = _capacity_for(n_shard, d, args.capacity_factor, args.chunks)
+    quantum = (1 << 16) if args.finish in ("windows", "both") else 128
+    capacity = _capacity_for(n_shard, d, args.capacity_factor, args.chunks,
+                             quantum=quantum)
     cap_c = capacity // args.chunks
     n_ops = 2 if args.pairs else 1
 
@@ -147,25 +154,86 @@ def main():
         )
         return [(sp[0] >> jnp.uint32(sh)) + jnp.uint32(base)] + list(sv)
 
-    t_finish = bench("engine_finish_normalized", finish_normalized,
-                     narrow, *vals, overhead=overhead)
-    bench("engine_finish_raw_narrow (fallback path)", local_sort,
-          narrow, *vals, overhead=overhead)
+    t_finish = None
+    if args.finish in ("collapse", "both"):
+        t_finish = bench("engine_finish_normalized", finish_normalized,
+                         narrow, *vals, overhead=overhead)
+        bench("engine_finish_raw_narrow (fallback path)", local_sort,
+              narrow, *vals, overhead=overhead)
 
-    shuffle_bytes = n_shard * args.capacity_factor * 4 * n_ops
-    t_local = t_sort + t_expand + t_collapse + t_finish
+    # 4w) r5 sorted-window finish: the received padded windows — each a
+    # SORTED monotone slice of a locally sorted shard — feed the engine
+    # pipeline directly (validity chain seeded from window counts, pass 0
+    # emit-only, no collapse).  Prep (untimed): build d realistic
+    # windows by deinterleaving a sorted narrow-range shard.
+    t_windows = None
+    if args.finish in ("windows", "both"):
+        from tpusort import configs as _cfgs
+        from tpusort.ops.msd import sort_windows_msd
+
+        cnt = n_shard // d
+        s_sorted = jnp.sort(narrow)
+        wins = [jax.lax.slice(s_sorted, (w,), (n_shard,), (d,))
+                for w in range(d)]
+        pad = jnp.zeros((capacity - cnt,), jnp.uint32)
+        flat = jnp.concatenate(
+            [jnp.concatenate([w_, pad]) for w_ in wins])
+        wcounts = jnp.full((d,), cnt, jnp.int32)
+        vwins = ()
+        if args.pairs:
+            vflat = jax.random.bits(jax.random.key(9),
+                                    (d * capacity,), dtype=jnp.uint32)
+            vwins = (vflat,)
+        fin_kwargs = {
+            kk: vv for kk, vv in
+            _cfgs.get_config(32, args.pairs, "tpu").plan_kwargs().items()
+            if kk != "min_n"
+        }
+
+        def finish_windows(f, *v):
+            kn = (f - jnp.uint32(base)) << jnp.uint32(sh)
+            res = sort_windows_msd(
+                (kn,), v, window_counts=wcounts, window=capacity,
+                n=n_shard, total_bits=32, plan_kwargs=fin_kwargs,
+            )
+            assert res is not None, "no windows plan at this geometry"
+            ops, ovf = res
+            return [(ops[0] >> jnp.uint32(sh)) + jnp.uint32(base)] \
+                + list(ops[1:]) + [ovf]
+
+        t_windows = bench("engine_finish_windows", finish_windows, flat,
+                          *vwins, overhead=overhead, capacity=capacity)
+        outw = jax.jit(finish_windows)(flat, *vwins)
+        okw = jax.jit(
+            lambda o, s: (jnp.all(o[1:] >= o[:-1])
+                          & jnp.array_equal(o, s)
+                          & ~outw[-1].astype(bool))
+        )(outw[0], s_sorted)
+        print(json.dumps({"stage": "windows_verified",
+                          "ok": bool(np.asarray(okw))}))
+
+    shuffle_bytes = capacity * d * 4 * n_ops
     row = {
         "stage": "bound",
-        "local_stages_ms": round(t_local * 1e3, 2),
         "shuffle_bytes_per_shard": int(shuffle_bytes),
         "chunks": args.chunks,
+        "capacity": capacity,
     }
-    for bw in (45e9, 90e9, 186e9):     # v5e ICI per-link scenarios
-        t_sh = shuffle_bytes / bw
-        t_step = t_local + max(t_sh, t_expand / args.chunks)
-        row[f"step_ms_at_{int(bw/1e9)}GBps"] = round(t_step * 1e3, 2)
-        row[f"keys_per_s_per_chip_at_{int(bw/1e9)}GBps"] = int(
-            n_shard / t_step)
+    variants = []
+    if t_finish is not None:
+        variants.append(("collapse", t_sort + t_expand + t_collapse
+                         + t_finish))
+    if t_windows is not None:
+        variants.append(("windows", t_sort + t_expand + t_windows))
+    for name, t_local in variants:
+        row[f"{name}_local_stages_ms"] = round(t_local * 1e3, 2)
+        for bw in (45e9, 90e9, 186e9):   # v5e ICI per-link scenarios
+            t_sh = shuffle_bytes / bw
+            t_step = t_local + max(t_sh, t_expand / args.chunks)
+            row[f"{name}_step_ms_at_{int(bw/1e9)}GBps"] = round(
+                t_step * 1e3, 2)
+            row[f"{name}_keys_per_s_per_chip_at_{int(bw/1e9)}GBps"] = int(
+                n_shard / t_step)
     print(json.dumps(row))
 
 

@@ -5,10 +5,14 @@ requires: exact splitter selection, tie-quota skew handling, padded
 all-to-all, overflow fallback — all validated against the numpy oracle.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from tpusort.parallel import global_sort as gs
 from tpusort.utils import datagen
@@ -414,3 +418,77 @@ def test_windows_engine_direct():
                zip(got_k[:200], got_v[:200]))
     assert int(got_v.astype(np.uint64).sum()) == int(
         all_v.astype(np.uint64).sum())
+
+
+_RDMA_E2E = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+from tpusort.parallel import global_sort as gs
+mesh = jax.make_mesh((8,), ("x",))
+rng = np.random.default_rng(31)
+n = 1 << 14
+keys = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64)
+                   .astype(np.uint32))
+sorter = gs.make_global_sort(mesh, exchange="rdma")
+got = np.asarray(sorter(keys))
+assert np.array_equal(got, np.sort(np.asarray(keys))), "rdma e2e mismatch"
+print("OK")
+"""
+
+_RDMA_UNIT = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+from jax.sharding import PartitionSpec as P
+from tpusort.parallel.ring import ring_all_to_all
+mesh = jax.make_mesh((8,), ("x",))
+d, window = 8, 256
+rng = np.random.default_rng(32)
+data = rng.integers(0, 1 << 32, (d, d, window), dtype=np.uint64) \
+    .astype(np.uint32)
+def body(x):
+    return ring_all_to_all(x[0], "x", d=d)[None]
+f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P("x"),
+                          out_specs=P("x"), check_vma=False))
+got = np.asarray(f(jnp.asarray(data)))
+assert np.array_equal(got, np.transpose(data, (1, 0, 2))), "a2a mismatch"
+print("OK")
+"""
+
+
+def _run_isolated(script):
+    # the Pallas TPU-interpret emulator keeps process-global shared-memory
+    # state that does not survive a SECOND independent remote-DMA
+    # pallas_call in the same process (buffer ids leak across
+    # invocations) — each RDMA scenario gets a fresh interpreter process
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", script], cwd=REPO,
+                       capture_output=True, text=True, timeout=500,
+                       env=env)
+    assert r.returncode == 0 and "OK" in r.stdout, (
+        f"rc={r.returncode}\nstdout={r.stdout[-2000:]}"
+        f"\nstderr={r.stderr[-2000:]}"
+    )
+
+
+def test_rdma_exchange_exact():
+    """Pallas direct remote-DMA all-to-all (parallel/ring.py) replacing
+    the XLA collective: end-to-end global sort stays exact on the
+    multi-device emulator."""
+    _run_isolated(_RDMA_E2E)
+
+
+def test_rdma_unit_permutation():
+    """ring_all_to_all alone: out[r][s] == in[s][r] for all shards."""
+    _run_isolated(_RDMA_UNIT)

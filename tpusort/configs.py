@@ -44,9 +44,12 @@ class SortConfig:
     # tiles per partition-pass grid step (None = kernel default 4; big
     # tiles run best unbatched — see DESIGN.md round-3 geometry findings)
     pass_batch: Optional[int] = None
-    # stable pairs: keep payloads OUT of the compare-exchange network and
-    # apply them with one XLA gather per payload from the sorted position
-    # plane (each extra network operand costs ~30-50% of the chain)
+    # stable pairs: apply payloads with one XLA gather per payload from
+    # the sorted position plane instead of riding the network.  REFUTED
+    # on chip (r5, benchmarks/pairs_probe.py @ 2^26): the whole-array
+    # gather runs 69 M elem/s (no coalescing for data-dependent
+    # addresses on TPU), making gather-apply 58 M pairs/s vs 276 M for
+    # the riding composite — pinned False; kept as the A/B knob
     pairs_gather_apply: bool = False
     # --- algorithm auto-selection ---
     default_algorithm: str = "xla"

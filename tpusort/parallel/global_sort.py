@@ -220,6 +220,7 @@ def _global_sort_shard(
     return_overflow: bool = False,
     finish_mode: str = "auto",
     finish_plan_kwargs: Optional[dict] = None,
+    exchange: str = "collective",
 ):
     """Per-shard body (runs under shard_map). ops = planes + values, u32."""
     planes = list(ops[:nplanes])
@@ -258,18 +259,31 @@ def _global_sort_shard(
             for b in range(d)
         ])
 
-    recv_pieces: List[List[jax.Array]] = []
-    for j in range(chunks):
-        send_j = [_expand_piece(opad, j) for opad in padded]
-        recv_pieces.append([
-            jax.lax.all_to_all(s, axis, split_axis=0, concat_axis=0,
-                               tiled=True)
-            for s in send_j
-        ])
-    recv = [
-        jnp.concatenate([rp[i] for rp in recv_pieces], axis=1)
-        for i in range(len(sorted_ops))
-    ]
+    if exchange == "rdma":
+        # Pallas direct remote-DMA exchange (parallel/ring.py): one
+        # kernel issues all D-1 peer transfers concurrently over ICI —
+        # no XLA collective, issue/wait split by construction
+        from tpusort.parallel.ring import ring_all_to_all
+
+        recv = []
+        for opad in padded:
+            send = jnp.concatenate(
+                [_expand_piece(opad, j) for j in range(chunks)], axis=1
+            )
+            recv.append(ring_all_to_all(send, axis, d=d))
+    else:
+        recv_pieces: List[List[jax.Array]] = []
+        for j in range(chunks):
+            send_j = [_expand_piece(opad, j) for opad in padded]
+            recv_pieces.append([
+                jax.lax.all_to_all(s, axis, split_axis=0, concat_axis=0,
+                                   tiled=True)
+                for s in send_j
+            ])
+        recv = [
+            jnp.concatenate([rp[i] for rp in recv_pieces], axis=1)
+            for i in range(len(sorted_ops))
+        ]
     cmat = jax.lax.all_gather(counts, axis)                  # (D src, D dst)
     r = jax.lax.axis_index(axis)
     recv_counts = cmat[:, r]                                  # (D,)
@@ -399,7 +413,8 @@ def _global_sort_shard(
 
 def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
                        capacity, chunks, return_overflow=False,
-                       finish_mode="auto", finish_plan_kwargs=None):
+                       finish_mode="auto", finish_plan_kwargs=None,
+                       exchange="collective"):
     spec = P(axis_name)
     body = functools.partial(
         _global_sort_shard,
@@ -412,6 +427,7 @@ def _make_sharded_body(mesh, axis_name, nplanes, n_values, n_shard, d,
         return_overflow=return_overflow,
         finish_mode=finish_mode,
         finish_plan_kwargs=finish_plan_kwargs,
+        exchange=exchange,
     )
     n_ops = nplanes + n_values
     out_specs = tuple(spec for _ in range(n_ops))
@@ -449,6 +465,7 @@ def make_global_sort(
     chunks: int = 1,
     adaptive: bool = False,
     finish: str = "auto",
+    exchange: str = "collective",
 ):
     """Build a jitted distributed sorter over a 1-D mesh axis.
 
@@ -544,6 +561,7 @@ def make_global_sort(
                 mesh, axis_name, len(planes), len(vops), n_shard, d,
                 capacity, chunks, return_overflow=adaptive,
                 finish_mode=fin_mode, finish_plan_kwargs=fin_kwargs,
+                exchange=exchange,
             )
         out = shard_fn(*ops)
         if adaptive:
