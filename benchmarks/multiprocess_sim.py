@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 
 
 def worker(pid: int, nprocs: int, port: int, n: int, k: int,
-           pairs: bool) -> None:
+           pairs: bool, entropy: int = 1) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -58,8 +58,17 @@ def worker(pid: int, nprocs: int, port: int, n: int, k: int,
     def _mk(idx):
         lo, hi = idx[0].start or 0, idx[0].stop or n
         rng = np.random.default_rng((12345, lo))
-        return rng.integers(0, 1 << 32, hi - lo,
-                            dtype=np.uint64).astype(np.uint32)
+        out = rng.integers(0, 1 << 32, hi - lo,
+                           dtype=np.uint64).astype(np.uint32)
+        # entropy-AND ladder (the reference's skew stressor,
+        # msb/tests/data_gen.h:44-76): level e ANDs e draws; level 0 is
+        # constant zeros — exercises the tie quotas across processes
+        for _ in range(entropy - 1):
+            out &= rng.integers(0, 1 << 32, hi - lo,
+                                dtype=np.uint64).astype(np.uint32)
+        if entropy == 0:
+            out[:] = 0
+        return out
 
     keys = jax.make_array_from_callback((n,), sharding, _mk)
     vals = jax.make_array_from_callback(
@@ -130,12 +139,13 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=56297)
     ap.add_argument("--log2n", type=int, default=13)
     ap.add_argument("--pairs", action="store_true")
+    ap.add_argument("--entropy", type=int, default=1)
     args = ap.parse_args()
     n = 1 << args.log2n
 
     if args.pid is not None:
         worker(args.pid, args.nprocs, args.port, n,
-               args.devices_per_proc, args.pairs)
+               args.devices_per_proc, args.pairs, args.entropy)
         return 0
 
     env = dict(os.environ)
@@ -150,7 +160,8 @@ def main() -> int:
             [sys.executable, os.path.abspath(__file__),
              "--pid", str(i), "--nprocs", str(args.nprocs),
              "--devices-per-proc", str(args.devices_per_proc),
-             "--port", str(args.port), "--log2n", str(args.log2n)]
+             "--port", str(args.port), "--log2n", str(args.log2n),
+             "--entropy", str(args.entropy)]
             + (["--pairs"] if args.pairs else []),
             env=env, cwd=REPO,
         )

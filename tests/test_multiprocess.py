@@ -33,3 +33,23 @@ def test_multiprocess_global_sort(pairs):
                          capture_output=True, text=True)
     assert res.returncode == 0, res.stdout + res.stderr
     assert "'ok': True" in res.stdout
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("entropy", [1, 2, 0])
+def test_multiprocess_4x2_skew(entropy):
+    """4 processes x 2 devices (8 shards spanning 4 OS processes) at
+    2^16 keys across the entropy ladder: tie quotas and splitter
+    selection must hold across REAL process boundaries, not just the
+    single-process virtual mesh (r4 verdict: multiprocess coverage was
+    one smoke shape)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    args = [sys.executable, SCRIPT, "--nprocs", "4",
+            "--devices-per-proc", "2", "--log2n", "16",
+            "--entropy", str(entropy),
+            "--port", str(56320 + entropy)]
+    res = subprocess.run(args, env=env, cwd=REPO, timeout=540,
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "'ok': True" in res.stdout
