@@ -34,6 +34,10 @@ def main():
                     help="segment size (uniform mode; mean size ragged)")
     ap.add_argument("--ragged", action="store_true",
                     help="ragged segments via segmented_sort")
+    ap.add_argument("--pairs", action="store_true",
+                    help="carry a uint32 payload (ragged pairs ride the "
+                         "raw-plane engine; stable pairs the composite)")
+    ap.add_argument("--stable", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -48,9 +52,19 @@ def main():
         cuts = np.sort(rng.integers(0, n + 1, nseg - 1))
         offs_np = np.concatenate([[0], cuts, [n]]).astype(np.int32)
         offs = jnp.asarray(offs_np)
-        fn = lambda k: segmented_sort(k, offs)  # noqa: E731
-        dt = timing.measure(fn, keys, iters=args.iters)
-        out = np.asarray(jax.jit(fn)(keys)).astype(np.int64)
+        if args.pairs:
+            vals = jnp.arange(n, dtype=jnp.uint32)
+            fn = lambda k, v: segmented_sort(k, offs, v,  # noqa: E731
+                                             stable=args.stable)
+            dt = timing.measure(fn, keys, vals, iters=args.iters)
+            outk, outv = jax.jit(fn)(keys, vals)
+            out = np.asarray(outk).astype(np.int64)
+            gv = np.asarray(outv)
+        else:
+            fn = lambda k: segmented_sort(k, offs)  # noqa: E731
+            dt = timing.measure(fn, keys, iters=args.iters)
+            out = np.asarray(jax.jit(fn)(keys)).astype(np.int64)
+            gv = None
         # every within-segment adjacent pair must be ordered; pairs that
         # straddle a boundary are exempt
         d = np.diff(out)
@@ -64,7 +78,16 @@ def main():
         ok = ok and bool(np.array_equal(np.sort(out),
                                         np.sort(np.asarray(keys)
                                                 .astype(np.int64))))
-        mode = "ragged"
+        if gv is not None:
+            # pair binding: every output pair maps to its original key,
+            # and the payload is a permutation (checksum)
+            ok = ok and bool(np.array_equal(
+                np.asarray(keys).astype(np.int64)[gv], out))
+            ok = ok and int(gv.astype(np.uint64).sum()) == \
+                n * (n - 1) // 2
+        mode = "ragged_pairs" if args.pairs else "ragged"
+        if args.pairs and args.stable:
+            mode = "ragged_pairs_stable"
     else:
         b = n // args.seg
         fn = lambda k: sort_batched(k.reshape(b, args.seg))  # noqa: E731

@@ -190,3 +190,55 @@ class TestPresortedShortCircuit:
         np.testing.assert_array_equal(np.asarray(out[0]), hi)
         np.testing.assert_array_equal(np.asarray(out[1]), lo)
         assert not calls
+
+
+class TestTierCacheFlow:
+    """r5 one-sync tiering: the tier-decision cache must never compromise
+    correctness when the data distribution changes under a warm cache
+    (the in-graph cond safety net owns exactness; the overlapped
+    classification only re-routes FUTURE calls)."""
+
+    def _patched(self, monkeypatch):
+        from tpusort import api, planner
+
+        monkeypatch.setattr(planner, "PLANNER_MIN_N", 1 << 10)
+        api._TIER_CACHE.clear()
+        return api
+
+    def test_warm_cache_distribution_switch(self, monkeypatch):
+        api = self._patched(monkeypatch)
+        n = 20_000
+        uni = datagen.random_keys(jax.random.key(11), n, "uint32")
+
+        def run(k):
+            return np.asarray(_with_cfg(CPU_CFG,
+                                        lambda: tpusort.sort(k,
+                                                             algorithm="msd")))
+
+        # two uniform sorts warm the cache with tier=radix
+        np.testing.assert_array_equal(run(uni), np_sort_oracle(np.asarray(uni)))
+        np.testing.assert_array_equal(run(uni), np_sort_oracle(np.asarray(uni)))
+        assert any(v["tier"] == "radix" and not v["presorted"]
+                   for v in api._TIER_CACHE.values())
+        # now constant keys of the SAME shape hit the warm radix cache:
+        # the in-graph fallback must keep the output exact
+        const = jnp.full((n,), jnp.uint32(3))
+        np.testing.assert_array_equal(run(const), np.full(n, 3, np.uint32))
+        # and the refreshed classification marks the class presorted
+        # (constant keys ARE sorted), so the NEXT call short-circuits
+        np.testing.assert_array_equal(run(const), np.full(n, 3, np.uint32))
+        assert any(v["presorted"] for v in api._TIER_CACHE.values())
+
+    def test_cache_key_separates_shapes(self, monkeypatch):
+        api = self._patched(monkeypatch)
+        a = datagen.random_keys(jax.random.key(12), 4096, "uint32")
+        b = datagen.random_keys(jax.random.key(13), 8192, "uint32")
+
+        def run(k):
+            return np.asarray(_with_cfg(CPU_CFG,
+                                        lambda: tpusort.sort(k,
+                                                             algorithm="msd")))
+
+        np.testing.assert_array_equal(run(a), np_sort_oracle(np.asarray(a)))
+        np.testing.assert_array_equal(run(b), np_sort_oracle(np.asarray(b)))
+        assert len({k[1] for k in api._TIER_CACHE}) == 2
