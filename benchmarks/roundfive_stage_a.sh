@@ -1,8 +1,10 @@
 #!/bin/bash
 # Round-5 stage A: the full 2^28 skew matrix (VERDICT r4 #4) + u64
-# reconciliation rows (#7), one row per process (the tunnel backend dies
-# every ~2-3 rows of 2^28 work; incremental CSVs + per-row processes make
-# every row durable), with health-poll recovery between rows.
+# reconciliation rows (#7).  Rows are BATCHED per process (three entropy
+# rows share one process: the tier/verify graphs compile once and rows
+# 2-3 are compile-free; the driver's incremental CSV flush keeps each
+# finished row durable across tunnel deaths), with health-poll recovery
+# between batches and per-batch resume.
 cd /root/repo
 LOG=benchmarks/results/roundfive_stage_a.log
 R=benchmarks/results
@@ -19,63 +21,80 @@ print('OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))
   return 1
 }
 
+# run CSV ROWS CMD... — skip when CSV already has ROWS data rows
 run() {
-  for attempt in 1 2; do
+  csv="$1"; want="$2"; shift 2
+  have=$( [ -f "$csv" ] && tail -n +2 "$csv" 2>/dev/null | grep -c . || echo 0 )
+  if [ "$have" -ge "$want" ]; then
+    echo "skip (has $have rows): $csv" | tee -a "$LOG"; return 0
+  fi
+  for attempt in 1 2 3; do
     health || return 1
     echo "=== $* (attempt $attempt) === $(date +%H:%M:%S)" | tee -a "$LOG"
-    timeout "${T:-2400}" "$@" 2>&1 | grep -vE "WARNING|^I[0-9]" | tee -a "$LOG"
+    timeout "${T:-4200}" "$@" 2>&1 | grep -vE "WARNING|^I[0-9]" | tee -a "$LOG"
     rc="${PIPESTATUS[0]}"
+    have=$( [ -f "$csv" ] && tail -n +2 "$csv" 2>/dev/null | grep -c . || echo 0 )
     [ "$rc" = 0 ] && return 0
-    echo "--- rc=$rc; retrying after health ---" | tee -a "$LOG"
+    [ "$have" -ge "$want" ] && return 0
+    echo "--- rc=$rc (rows=$have); retrying after health ---" | tee -a "$LOG"
   done
   return 1
 }
 
-# u32 keys 2^28: the full entropy ladder through the r5 eager flow
-for e in 1 2 4 8 0 zipf; do
-  [ -s "$R/em_r5_u32_2e28_e$e.csv" ] && continue
-  T=2400 run python benchmarks/entropy_matrix.py -k 268435456 -r 2 \
-    --types uint32 --entropies $e --csv $R/em_r5_u32_2e28_e$e.csv
-done
+# u32 keys 2^28 (the e1 row is already durable from the first launch)
+run $R/em_r5_u32_2e28_a.csv 3 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
+    --entropies 1 2 4 --csv $R/em_r5_u32_2e28_a.csv
+run $R/em_r5_u32_2e28_b.csv 3 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
+    --entropies 8 0 zipf --csv $R/em_r5_u32_2e28_b.csv
 
 # u32 unstable pairs 2^28 (MSB rdxsrt_unstable_sort_pairs parity rows)
-for e in 1 2 4 8 0 zipf; do
-  [ -s "$R/em_r5_pairs_2e28_e$e.csv" ] && continue
-  T=2400 run python benchmarks/entropy_matrix.py -k 268435456 -r 2 \
-    --types pairs --entropies $e --csv $R/em_r5_pairs_2e28_e$e.csv
-done
+run $R/em_r5_pairs_2e28_a.csv 3 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types pairs \
+    --entropies 1 2 4 --csv $R/em_r5_pairs_2e28_a.csv
+run $R/em_r5_pairs_2e28_b.csv 3 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types pairs \
+    --entropies 8 0 zipf --csv $R/em_r5_pairs_2e28_b.csv
 
-# u64 plane rows 2^26 (reconciliation: the r4 238-vs-348 M discrepancy was
-# the host-tier tax; these rows now ride the cached cond dispatch)
-for e in 1 2 4 8 0 zipf; do
-  [ -s "$R/em_r5_u64_2e26_e$e.csv" ] && continue
-  T=1800 run python benchmarks/entropy_matrix.py -k 67108864 -r 2 \
-    --types uint64 --entropies $e --csv $R/em_r5_u64_2e26_e$e.csv
-done
+# u64 plane rows 2^26 (reconciliation: the r4 238-vs-348 M discrepancy
+# was the host-tier tax; these rows ride the cached cond dispatch)
+run $R/em_r5_u64_2e26_a.csv 6 \
+  python benchmarks/entropy_matrix.py -k 67108864 -r 2 --types uint64 \
+    --entropies 1 2 4 8 0 zipf --csv $R/em_r5_u64_2e26_a.csv
 
 # u64 at 2^28, uniform (the README-table anchor row)
-[ -s "$R/em_r5_u64_2e28_e1.csv" ] || \
-  T=3000 run python benchmarks/entropy_matrix.py -k 268435456 -r 2 \
-    --types uint64 --entropies 1 --csv $R/em_r5_u64_2e28_e1.csv
+run $R/em_r5_u64_2e28_e1.csv 1 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint64 \
+    --entropies 1 --csv $R/em_r5_u64_2e28_e1.csv
 
-# merge
+# merge (the original per-row e1 file is included if present)
 python - <<'EOF'
 import glob
-for pat, out in [
-    ("benchmarks/results/em_r5_u32_2e28_e*.csv",
+for pats, out in [
+    (["benchmarks/results/em_r5_u32_2e28_e*.csv",
+      "benchmarks/results/em_r5_u32_2e28_a.csv",
+      "benchmarks/results/em_r5_u32_2e28_b.csv"],
      "benchmarks/results/entropy_matrix_r5_u32_2e28.csv"),
-    ("benchmarks/results/em_r5_pairs_2e28_e*.csv",
+    (["benchmarks/results/em_r5_pairs_2e28_*.csv"],
      "benchmarks/results/entropy_matrix_r5_pairs_2e28.csv"),
-    ("benchmarks/results/em_r5_u64_2e26_e*.csv",
+    (["benchmarks/results/em_r5_u64_2e26_a.csv"],
      "benchmarks/results/entropy_matrix_r5_u64_2e26.csv"),
 ]:
-    rows, header = [], None
-    for f in sorted(glob.glob(pat)):
+    rows, header, seen = [], None, set()
+    files = []
+    for p in pats:
+        files += sorted(glob.glob(p))
+    for f in files:
         lines = open(f).read().strip().splitlines()
         if not lines:
             continue
         header = lines[0]
-        rows += lines[1:]
+        for ln in lines[1:]:
+            key = ",".join(ln.split(",")[:2])
+            if key not in seen and ln.strip():
+                seen.add(key)
+                rows.append(ln)
     if header:
         open(out, "w").write("\n".join([header] + rows) + "\n")
         print(out, len(rows), "rows")
