@@ -24,7 +24,8 @@ print('OK', np.asarray(jax.jit(lambda a:(a*2).sum())(jnp.arange(1024))))
 # run CSV ROWS CMD... — skip when CSV already has ROWS data rows
 run() {
   csv="$1"; want="$2"; shift 2
-  have=$( [ -f "$csv" ] && tail -n +2 "$csv" 2>/dev/null | grep -c . || echo 0 )
+  have=$(tail -n +2 "$csv" 2>/dev/null | grep -c .)
+  have=${have:-0}
   if [ "$have" -ge "$want" ]; then
     echo "skip (has $have rows): $csv" | tee -a "$LOG"; return 0
   fi
@@ -33,7 +34,8 @@ run() {
     echo "=== $* (attempt $attempt) === $(date +%H:%M:%S)" | tee -a "$LOG"
     timeout "${T:-4200}" "$@" 2>&1 | grep -vE "WARNING|^I[0-9]" | tee -a "$LOG"
     rc="${PIPESTATUS[0]}"
-    have=$( [ -f "$csv" ] && tail -n +2 "$csv" 2>/dev/null | grep -c . || echo 0 )
+    have=$(tail -n +2 "$csv" 2>/dev/null | grep -c .)
+    have=${have:-0}
     [ "$rc" = 0 ] && return 0
     [ "$have" -ge "$want" ] && return 0
     echo "--- rc=$rc (rows=$have); retrying after health ---" | tee -a "$LOG"
@@ -45,9 +47,25 @@ run() {
 run $R/em_r5_u32_2e28_a.csv 3 \
   python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
     --entropies 1 2 4 --csv $R/em_r5_u32_2e28_a.csv
-run $R/em_r5_u32_2e28_b.csv 3 \
+# skew rows: e0 (presorted short-circuit, safe) first; then a
+# compile-only meminfo probe of the equidepth tier (the first e8 attempt
+# died with "TPU backend error (Internal)" — diagnose OOM vs wedge
+# before re-triggering), then the equidepth rows individually
+run $R/em_r5_u32_2e28_b0.csv 1 \
   python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
-    --entropies 8 0 zipf --csv $R/em_r5_u32_2e28_b.csv
+    --entropies 0 --csv $R/em_r5_u32_2e28_b0.csv
+if [ ! -s $R/r5_eq28_meminfo.json ]; then
+  health && timeout 2400 python benchmarks/eq28_meminfo.py --log2n 28 \
+    > $R/r5_eq28_meminfo.json 2>>"$LOG" \
+    && cat $R/r5_eq28_meminfo.json | tee -a "$LOG" \
+    || echo "eq28 meminfo failed" | tee -a "$LOG"
+fi
+run $R/em_r5_u32_2e28_b8.csv 1 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
+    --entropies 8 --csv $R/em_r5_u32_2e28_b8.csv
+run $R/em_r5_u32_2e28_bz.csv 1 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
+    --entropies zipf --csv $R/em_r5_u32_2e28_bz.csv
 
 # u32 unstable pairs 2^28 (MSB rdxsrt_unstable_sort_pairs parity rows)
 run $R/em_r5_pairs_2e28_a.csv 3 \
@@ -74,7 +92,7 @@ import glob
 for pats, out in [
     (["benchmarks/results/em_r5_u32_2e28_e*.csv",
       "benchmarks/results/em_r5_u32_2e28_a.csv",
-      "benchmarks/results/em_r5_u32_2e28_b.csv"],
+      "benchmarks/results/em_r5_u32_2e28_b*.csv"],
      "benchmarks/results/entropy_matrix_r5_u32_2e28.csv"),
     (["benchmarks/results/em_r5_pairs_2e28_*.csv"],
      "benchmarks/results/entropy_matrix_r5_pairs_2e28.csv"),
