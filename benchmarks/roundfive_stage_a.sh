@@ -60,12 +60,9 @@ if [ ! -s $R/r5_eq28_meminfo.json ]; then
     && cat $R/r5_eq28_meminfo.json | tee -a "$LOG" \
     || echo "eq28 meminfo failed" | tee -a "$LOG"
 fi
-run $R/em_r5_u32_2e28_b8.csv 1 \
-  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
-    --entropies 8 --csv $R/em_r5_u32_2e28_b8.csv
-run $R/em_r5_u32_2e28_bz.csv 1 \
-  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
-    --entropies zipf --csv $R/em_r5_u32_2e28_bz.csv
+# (e8/zipf rows moved after the safe batches: their first attempts
+# hit "TPU backend error (Internal)" and wedged the chip for ~40 min;
+# they retry at the end with the uint32 tie-split fix)
 
 # u32 unstable pairs 2^28 (MSB rdxsrt_unstable_sort_pairs parity rows)
 run $R/em_r5_pairs_2e28_a.csv 3 \
@@ -85,6 +82,13 @@ run $R/em_r5_u64_2e26_a.csv 6 \
 run $R/em_r5_u64_2e28_e1.csv 1 \
   python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint64 \
     --entropies 1 --csv $R/em_r5_u64_2e28_e1.csv
+
+run $R/em_r5_u32_2e28_b8.csv 1 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
+    --entropies 8 --csv $R/em_r5_u32_2e28_b8.csv
+run $R/em_r5_u32_2e28_bz.csv 1 \
+  python benchmarks/entropy_matrix.py -k 268435456 -r 2 --types uint32 \
+    --entropies zipf --csv $R/em_r5_u32_2e28_bz.csv
 
 # merge (the original per-row e1 file is included if present)
 python - <<'EOF'

@@ -253,7 +253,7 @@ def _fused_kernel(
                 flag = jnp.int32(0)
                 tile_id = pl.program_id(0) * nb + b
                 for d in range(1, r):
-                    fd = frac_ref[b, 0, d - 1].astype(jnp.int32)
+                    fd = frac_ref[b, 0, d - 1]
                     a_d, b_d = _cmp_counts(b, d)
                     lo = jnp.maximum(a_d, st[-1])
                     hi = st[-1] + s
@@ -271,7 +271,22 @@ def _fused_kernel(
                          + jnp.int32((d * 0x85EBCA6B) & 0x7FFFFFFF))
                         >> 15
                     ) & jnp.int32(0xFFFF)
-                    tgt = a_d + ((fd * (b_d - a_d) + u) >> 16)
+                    # fd * span must be exact: span reaches K (a heavily
+                    # tied tile, entropy-8/zipf at K = 2^16) and fd reaches
+                    # 2^16, so the product needs the FULL uint32 range —
+                    # int32 wraps negative and could place a cut past the
+                    # tie-legal bound b_d (an order error, not just a
+                    # capacity miss).  fd is clamped to 2^16 - 1 (the lone
+                    # corner fd = span = 2^16 is the f = 1.0 greedy fill,
+                    # which the hi/relief clamps already realize).
+                    span = (b_d - a_d).astype(jnp.uint32)
+                    fd_c = jnp.minimum(fd, jnp.uint32(0xFFFF))
+                    prod = (
+                        (fd_c * span + u.astype(jnp.uint32))
+                        >> jnp.uint32(16)
+                    ).astype(jnp.int32)
+                    tgt = jnp.where(fd >= jnp.uint32(1 << 16),
+                                    b_d, a_d + prod)
                     c_d = jnp.minimum(
                         jnp.minimum(jnp.maximum(tgt, lo), hi), n_valid[b]
                     )
