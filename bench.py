@@ -260,4 +260,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        # The tunneled backend wedges transiently ("TPU backend error
+        # (Internal)", probe hangs); a poisoned PJRT client cannot recover
+        # in-process, so re-exec a fresh interpreter after a cooldown.
+        import sys
+        import time as _t
+
+        tries = int(os.environ.get("TPUSORT_BENCH_RETRY", "0"))
+        if tries >= 2:
+            raise
+        print(
+            f"bench attempt {tries + 1} failed ({type(e).__name__}: {e}); "
+            "re-exec after 120s",
+            file=sys.stderr,
+        )
+        _t.sleep(120)
+        os.environ["TPUSORT_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
